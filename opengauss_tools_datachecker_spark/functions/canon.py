@@ -1,0 +1,123 @@
+"""Type canonicalization + per-row checksum (the reference's heart).
+
+The reference's correctness-critical invariant is that every dialect
+renders a value to the *identical string* before hashing, so digests
+match iff values match (per-dialect rule matrices in /root/reference
+src/main/java/com/gauss/common/db/sql/MysqlUtil.java:23-68,
+OpenGaussUtil.java:34-88, OracleUtil.java:23-83, PostgresUtil.java:22-75).
+This module is the single Spark-side equivalent: one deterministic
+rendering per Spark DataType, built entirely from Catalyst expressions
+(cast / round / date_format / hex / to_json / coalesce) so the whole
+checksum projection stays inside whole-stage codegen — no UDF.
+
+Canonical forms (design notes):
+
+- integers / booleans   -> decimal string (``cast(string)``; bool -> 0/1
+  like OpenGaussUtil.java:34,57-59 ``cast(as int)``)
+- float / double / dec  -> fixed 10 fractional digits via
+  ``cast(decimal(38,10)) -> string`` — the Spark analog of
+  ``round(convert(col,char),10)`` (MysqlUtil.java:25,49-52) and
+  ``to_char(col,'fm...0000000000')`` (OpenGaussUtil.java:38,64-68)
+- timestamp / date      -> ``yyyy-MM-dd HH:mm:ss.SSSSSS`` /
+  ``yyyy-MM-dd``, NULL -> sentinel ``0000-00-00 00:00:00`` mirroring
+  MysqlUtil.java:33,63-65 (the sentinel prevents the concat_ws
+  skip-NULL collision for date columns; see SURVEY.md §1.4)
+- binary                -> lowercase hex (OracleUtil.java:39,69-70
+  ``lower(rawtohex(col))``)
+- array / map / struct  -> ``to_json`` (no reference analog; flat
+  relational model only — this extends it deterministically)
+
+NULL handling: ``concat_ws`` skips NULLs (same as MySQL/PG/openGauss,
+SURVEY.md §1.4), so ``(NULL,'a')`` vs ``('a',NULL)`` collide when the
+separator is ``''``. We default to a non-empty unit separator and an
+explicit NULL sentinel, which removes both the skip-NULL collision and
+the boundary collision ('ab','c') vs ('a','bc'); pass
+``reference_compat=True`` to reproduce the reference's exact
+``md5(concat_ws('', ...))`` semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Field separator: ASCII unit separator — never appears in canonical forms.
+SEP = "\x1f"
+#: Rendered in place of NULL (non-reference-compat mode).
+NULL_SENTINEL = "\x00"
+#: The reference's NULL-date sentinel (MysqlUtil.java:33).
+NULL_DATE_SENTINEL = "0000-00-00 00:00:00"
+
+TIMESTAMP_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+DATE_FMT = "yyyy-MM-dd"
+
+
+def canon_column(col: Column | str, dtype: T.DataType) -> Column:
+    """Render *col* of *dtype* to its canonical string (NULL stays NULL)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(dtype, T.StringType):
+        return c
+    if isinstance(dtype, T.BooleanType):
+        return c.cast("int").cast("string")
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return c.cast("string")
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        # fixed 10 fractional digits, HALF_UP — cross-dialect stable
+        return c.cast(T.DecimalType(38, 10)).cast("string")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return F.coalesce(F.date_format(c, TIMESTAMP_FMT), F.lit(NULL_DATE_SENTINEL))
+    if isinstance(dtype, T.DateType):
+        return F.coalesce(F.date_format(c, DATE_FMT), F.lit(NULL_DATE_SENTINEL))
+    if isinstance(dtype, T.BinaryType):
+        return F.lower(F.hex(c))
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+        return F.to_json(c)
+    if isinstance(dtype, T.NullType):
+        return F.lit(None).cast("string")
+    # day-time / year-month intervals -> total seconds / months, like
+    # OpenGaussUtil.java:49-52,78-81
+    if isinstance(dtype, T.DayTimeIntervalType):
+        return c.cast("double").cast(T.DecimalType(38, 10)).cast("string")
+    if isinstance(dtype, T.YearMonthIntervalType):
+        return c.cast("int").cast("string")
+    return c.cast("string")
+
+
+def checksum_column(
+    fields: list[T.StructField],
+    algo: str = "sha256",
+    reference_compat: bool = False,
+) -> Column:
+    """Digest over the canonicalized concatenation of *fields*.
+
+    The Spark form of ``md5(concat_ws('', convert(c1), ...))``
+    (MysqlUtil.java:71-79) generalized to sha256 (BASELINE.json fixes
+    sha256 as the per-row invariant). ``reference_compat=True`` keeps
+    the reference's empty separator + skip-NULL semantics and md5.
+    """
+    canons = [canon_column(f.name, f.dataType) for f in fields]
+    if reference_compat:
+        concat = F.concat_ws("", *canons)
+        return F.md5(concat) if algo == "md5" else F.sha2(concat, 256)
+    padded = [F.coalesce(c, F.lit(NULL_SENTINEL)) for c in canons]
+    concat = F.concat_ws(SEP, *padded)
+    if algo == "md5":
+        return F.md5(concat)
+    if algo == "sha256":
+        return F.sha2(concat, 256)
+    raise ValueError(f"unsupported digest algo: {algo}")
+
+
+def row_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    algo: str = "sha256",
+    out: str = "checksum",
+    reference_compat: bool = False,
+) -> Column:
+    """``checksum_column`` bound to *df*'s schema (all or listed cols)."""
+    by_name = {f.name: f for f in df.schema.fields}
+    names = cols if cols is not None else [f.name for f in df.schema.fields]
+    fields = [by_name[n] for n in names]
+    return checksum_column(fields, algo=algo, reference_compat=reference_compat).alias(out)

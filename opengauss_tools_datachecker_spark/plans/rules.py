@@ -1,0 +1,175 @@
+"""The BASELINE rule suite (N1-N5) as Rule implementations.
+
+Each rule is one lazy DataFrame program returning violations in the
+standard schema (plans/rule.py). Rule N5 alone reproduces the
+reference's ENTIRE pipeline semantics (Preparer+Extractor+Applier+
+Comparer, SURVEY.md §3.2-3.3) in one join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.fixtures import KEY_COLS, bucket_of
+from opengauss_tools_datachecker_spark.operators.drift import (
+    categorical_histogram,
+    drift_verdicts,
+    length_histogram,
+)
+from opengauss_tools_datachecker_spark.operators.referential import orphan_keys
+from opengauss_tools_datachecker_spark.operators.stats import column_stats
+from opengauss_tools_datachecker_spark.operators.uniqueness import duplicate_keys
+from opengauss_tools_datachecker_spark.plans.rule import CheckContext, key_expr
+
+
+class ContentSha256Rule:
+    """N5: per-row sha256(content) vs the reference manifest.
+
+    The Spark form of the reference's md5 full-join comparison
+    (/root/reference src/main/java/com/gauss/common/db/sql/
+    OpenGaussUtil.java:118-122 executed at src/main/java/com/gauss/
+    comparer/GaussRecordComparer.java:63-119), with three upgrades:
+    keys ride along (no reverse lookup), mismatched-content rows are
+    caught directly (not just missing digests), and the join keys on
+    (repo,path,commit) so digest collisions can't mask row identity.
+
+    Scale: one shuffle on the composite key each side; with both sides
+    stored bucketed-by-repo (Iceberg bucket transform) this becomes a
+    storage-partitioned join with NO shuffle — noted as the production
+    layout.
+    """
+
+    rule_id = "sha256"
+    version = "1"
+
+    def check(self, ctx: CheckContext) -> DataFrame:
+        files = ctx.files_with_bucket()
+        observed = files.select(
+            *KEY_COLS, "bucket", F.sha2(F.col("content"), 256).alias("observed")
+        )
+        expected = ctx.manifest.select(
+            *KEY_COLS, F.col("expected_sha256").alias("expected")
+        )
+        joined = observed.join(expected, KEY_COLS, "full_outer")
+        return (
+            joined.filter(
+                ~F.col("observed").eqNullSafe(F.col("expected"))
+            )
+            .select(
+                F.lit(self.rule_id).alias("rule_id"),
+                F.coalesce(F.col("bucket"), bucket_of("repo", ctx.n_buckets)).alias("bucket"),
+                key_expr(*KEY_COLS).alias("key"),
+                "observed",
+                "expected",
+            )
+        )
+
+
+class UniquenessRule:
+    """N2: (repo,path,commit) must be unique — salted two-phase count."""
+
+    rule_id = "uniqueness"
+    version = "1"
+
+    def check(self, ctx: CheckContext) -> DataFrame:
+        files = ctx.files_with_bucket()
+        dupes = duplicate_keys(
+            files, KEY_COLS, salt_buckets=int(ctx.params.get("salt_buckets", 64))
+        )
+        return dupes.select(
+            F.lit(self.rule_id).alias("rule_id"),
+            bucket_of("repo", ctx.n_buckets).alias("bucket"),
+            key_expr(*KEY_COLS).alias("key"),
+            F.col("n_rows").cast("string").alias("observed"),
+            F.lit("1").alias("expected"),
+        )
+
+
+class ReferentialRule:
+    """N3: every (repo,commit) in files must exist in the commits table."""
+
+    rule_id = "referential"
+    version = "1"
+
+    def check(self, ctx: CheckContext) -> DataFrame:
+        files = ctx.files_with_bucket()
+        orphans = orphan_keys(
+            files,
+            ctx.commits,
+            on=["repo", "commit"],
+            parent_rows=ctx.params.get("parent_rows"),
+            broadcast_threshold_rows=int(ctx.params.get("broadcast_threshold_rows", 5_000_000)),
+        )
+        return orphans.select(
+            F.lit(self.rule_id).alias("rule_id"),
+            bucket_of("repo", ctx.n_buckets).alias("bucket"),
+            key_expr("repo", "commit").alias("key"),
+            F.concat_ws("|", "repo", "commit").alias("observed"),
+            F.lit(None).cast("string").alias("expected"),
+        )
+
+
+class ColumnStatsRule:
+    """N1: per-bucket null rate / min / max / HLL distinct; violations
+    when a column's null_rate exceeds the configured bound."""
+
+    rule_id = "column_stats"
+    version = "1"
+
+    def check(self, ctx: CheckContext) -> DataFrame:
+        files = ctx.files_with_bucket()
+        cols = [c for c in ("repo", "path", "commit", "lang", "content") if c in files.columns]
+        stats = column_stats(files.select("bucket", *cols), group_col="bucket", cols=cols)
+        max_null_rate = float(ctx.params.get("max_null_rate", 0.0))
+        return stats.filter(F.col("null_rate") > max_null_rate).select(
+            F.lit(self.rule_id).alias("rule_id"),
+            F.col("bucket"),
+            F.concat_ws("|", F.col("bucket").cast("string"), F.col("column")).alias("key"),
+            F.format_number(F.col("null_rate"), 6).alias("observed"),
+            F.format_number(F.lit(max_null_rate), 6).alias("expected"),
+        )
+
+    def stats(self, ctx: CheckContext) -> DataFrame:
+        files = ctx.files_with_bucket()
+        cols = [c for c in files.columns if c not in ("bucket", "file_id")]
+        return column_stats(files.select("bucket", *cols), group_col="bucket", cols=cols)
+
+
+class DriftRule:
+    """N4: per-bucket lang (chi²) and content-length (KS) drift vs the
+    pooled rest-of-table distribution."""
+
+    rule_id = "drift"
+    version = "1"
+
+    def check(self, ctx: CheckContext) -> DataFrame:
+        files = ctx.files_with_bucket()
+        alpha = float(ctx.params.get("alpha", 0.01))
+        lang_hist = categorical_histogram(files, "lang", by="bucket")
+        len_hist = length_histogram(files, F.length("content"), by="bucket")
+        ref_lang = ref_len = None
+        if ctx.baseline is not None:
+            base = ctx.baseline
+            if "bucket" not in base.columns:
+                base = base.withColumn("bucket", bucket_of("repo", ctx.n_buckets))
+            ref_lang = categorical_histogram(base, "lang", by="bucket")
+            ref_len = length_histogram(base, F.length("content"), by="bucket")
+        chi2 = drift_verdicts(lang_hist, ref_lang, test="chi2", alpha=alpha).filter("drifted")
+        ks = drift_verdicts(
+            len_hist, ref_len, test="ks", alpha=alpha, numeric_order=True
+        ).filter("drifted")
+
+        def to_violations(v: DataFrame, which: str) -> DataFrame:
+            return v.select(
+                F.lit(self.rule_id).alias("rule_id"),
+                F.col("bucket"),
+                F.concat_ws("|", F.lit(which), F.col("bucket").cast("string")).alias("key"),
+                F.format_number(F.col("statistic"), 4).alias("observed"),
+                F.format_number(F.col("threshold"), 4).alias("expected"),
+            )
+
+        return to_violations(chi2, "lang_chi2").unionByName(to_violations(ks, "len_ks"))
+
+
+ALL_RULES = [ContentSha256Rule(), UniquenessRule(), ReferentialRule(), ColumnStatsRule(), DriftRule()]

@@ -1,0 +1,115 @@
+"""Rule-suite runner — the GaussController/GaussInstance analog.
+
+The reference orchestrates one thread-pool pipeline per table
+(/root/reference src/main/java/com/gauss/controller/GaussController.java:142-159,
+GaussInstance.java:96-199: semaphores, bounded queues, TPS throttling,
+barrier joins). All of that collapses into Spark's scheduler: each rule
+is one lazy DataFrame; one action materializes the union.
+
+Resume semantics: with a control table, only (bucket, rule) pairs not
+yet verdict-ed for the same (snapshot_id, rule_version) are recomputed;
+bucket filters are pushed into the scans (partition pruning on an
+Iceberg bucket-partitioned layout).
+
+Error semantics: the reference calls System.exit(0) on applier failure
+(CheckRecordApplier.java:62-63) — masking errors as success. Here
+violations-found and execution-error are distinct: the CLI exits 1 on
+FAIL verdicts, 2 on errors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.plans.checkpoint import ControlTable
+from opengauss_tools_datachecker_spark.plans.rule import CheckContext, empty_violations
+from opengauss_tools_datachecker_spark.plans.rules import ALL_RULES
+
+
+@dataclass
+class RunResult:
+    violations: DataFrame          # (rule_id, bucket, key, observed, expected)
+    verdicts: list[tuple]          # collected (bucket, rule_id, n_violations, status)
+    skipped: set[tuple[int, str]]  # (bucket, rule_id) resumed from checkpoint
+
+    @property
+    def failed(self) -> bool:
+        return any(status == "FAIL" for (_, _, _, status) in self.verdicts)
+
+
+def run_suite(
+    ctx: CheckContext,
+    rules=None,
+    control: ControlTable | None = None,
+    snapshot_id: str = "snap0",
+    resume: bool = True,
+) -> RunResult:
+    rules = rules if rules is not None else ALL_RULES
+    rule_versions = {r.rule_id: r.version for r in rules}
+    all_buckets = set(range(ctx.n_buckets))
+
+    done: set[tuple[int, str]] = set()
+    if control is not None and resume:
+        done = control.completed_pairs(ctx.spark, snapshot_id, rule_versions)
+
+    per_rule_pending: dict[str, set[int]] = {
+        r.rule_id: {b for b in all_buckets if (b, r.rule_id) not in done} for r in rules
+    }
+
+    files = ctx.files_with_bucket()
+    # One shared scan for all rules in this run.
+    files = files.persist()
+
+    violations = empty_violations(ctx.spark)
+    active_rules = []
+    for rule in rules:
+        pending = per_rule_pending[rule.rule_id]
+        if not pending:
+            continue
+        active_rules.append(rule)
+        rule_files, rule_manifest, rule_baseline = files, ctx.manifest, ctx.baseline
+        if pending != all_buckets:
+            # bucket filter → partition pruning on a bucket-partitioned
+            # layout. Manifest and baseline must be pruned in lockstep or
+            # the full-outer joins report skipped buckets as missing.
+            from opengauss_tools_datachecker_spark.fixtures import bucket_of
+
+            rule_files = files.filter(F.col("bucket").isin(*pending))
+            if rule_manifest is not None:
+                rule_manifest = rule_manifest.filter(
+                    bucket_of("repo", ctx.n_buckets).isin(*pending)
+                )
+            if rule_baseline is not None:
+                rule_baseline = rule_baseline.filter(
+                    bucket_of("repo", ctx.n_buckets).isin(*pending)
+                )
+        rule_ctx = CheckContext(
+            spark=ctx.spark,
+            files=rule_files,
+            manifest=rule_manifest,
+            commits=ctx.commits,  # parent side stays global (validity set)
+            baseline=rule_baseline,
+            n_buckets=ctx.n_buckets,
+            run_id=ctx.run_id,
+            params=ctx.params,
+        )
+        violations = violations.unionByName(rule.check(rule_ctx))
+
+    # One action: per-(bucket, rule) violation counts (tiny result).
+    counts = {
+        (r.bucket, r.rule_id): r.n
+        for r in violations.groupBy("bucket", "rule_id").agg(F.count("*").alias("n")).collect()
+    }
+    verdict_rows = []
+    for rule in active_rules:
+        for b in sorted(per_rule_pending[rule.rule_id]):
+            n = counts.get((b, rule.rule_id), 0)
+            verdict_rows.append((b, rule.rule_id, n, "FAIL" if n > 0 else "PASS"))
+
+    if control is not None and verdict_rows:
+        control.record(ctx.spark, verdict_rows, snapshot_id, rule_versions, run_id=ctx.run_id)
+    files.unpersist()
+    return RunResult(violations=violations, verdicts=verdict_rows, skipped=done)

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.operators.checksum import (
+    checksum_table,
+    multiset_diff,
+    recover_rows,
+    symmetric_diff,
+)
+
+
+def _sides(spark):
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c")], "id long, v string"
+    )
+    tgt = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id long, v string")
+    return src, tgt
+
+
+def test_symmetric_diff_reference_semantics(spark):
+    src, tgt = _sides(spark)
+    a = checksum_table(src, ["id"])
+    b = checksum_table(tgt, ["id"])
+    diff = symmetric_diff(a, b).collect()
+    sides = {r["side"] for r in diff}
+    # (2,'b') only in source, (2,'B') only in target; the 3-duplicate is
+    # invisible (reference's blindness, reproduced on purpose)
+    assert len(diff) == 2 and sides == {"source_only", "target_only"}
+
+
+def test_multiset_diff_catches_duplicates(spark):
+    src, tgt = _sides(spark)
+    a = checksum_table(src, ["id"])
+    b = checksum_table(tgt, ["id"])
+    diff = multiset_diff(a, b).collect()
+    assert len(diff) == 3  # b-mismatch both ways + the 2-vs-1 duplicate
+    assert any(r["n_source"] == 2 and r["n_target"] == 1 for r in diff)
+
+
+def test_recover_rows(spark):
+    src, tgt = _sides(spark)
+    a = checksum_table(src, ["id"])
+    b = checksum_table(tgt, ["id"])
+    missing = symmetric_diff(a, b).filter("side = 'source_only'")
+    rows = recover_rows(src, missing, on="checksum", value_cols=["v"]).collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(2, "b")]
+
+
+def test_empty_tables(spark):
+    empty = spark.createDataFrame([], "id long, v string")
+    a = checksum_table(empty, ["id"])
+    assert symmetric_diff(a, a).count() == 0
+    assert multiset_diff(a, a).count() == 0

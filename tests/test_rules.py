@@ -1,0 +1,128 @@
+"""Seeded-corruption end-to-end tests: the reference's implicit oracle
+made explicit (FIXTURES.md §4-5) — inject a difference, expect exactly
+those keys flagged by exactly that rule, all other (bucket, rule)
+verdicts PASS."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark import fixtures as fx
+from opengauss_tools_datachecker_spark.plans.rule import CheckContext
+from opengauss_tools_datachecker_spark.plans.rules import (
+    ALL_RULES,
+    ColumnStatsRule,
+    ContentSha256Rule,
+    DriftRule,
+    ReferentialRule,
+    UniquenessRule,
+)
+from opengauss_tools_datachecker_spark.plans.runner import run_suite
+
+
+@pytest.fixture(scope="module")
+def base(spark, small_files):
+    return {
+        "manifest": fx.manifest(small_files).cache(),
+        "commits": fx.repo_commits(small_files).cache(),
+    }
+
+
+def _ctx(spark, files, base, baseline=None, **params):
+    return CheckContext(
+        spark=spark,
+        files=files,
+        manifest=base["manifest"],
+        commits=base["commits"],
+        baseline=baseline,
+        n_buckets=8,
+        params=params,
+    )
+
+
+def _keys(violations):
+    return {r["key"] for r in violations.collect()}
+
+
+def test_clean_input_all_pass(spark, small_files, base):
+    result = run_suite(_ctx(spark, small_files, base, baseline=small_files))
+    assert not result.failed
+    assert result.violations.count() == 0
+    assert len(result.verdicts) == 8 * len(ALL_RULES)
+
+
+def test_flip_bytes_caught_by_sha256(spark, small_files, base):
+    corrupted, expected = fx.flip_bytes(small_files, 0.02)
+    v = ContentSha256Rule().check(_ctx(spark, corrupted, base))
+    exp = {"|".join([r.repo, r.path, r.commit]) for r in expected.collect()}
+    assert _keys(v) == exp
+    # mismatches have both sides non-null
+    assert v.filter(F.col("observed").isNull() | F.col("expected").isNull()).count() == 0
+
+
+def test_drop_rows_caught_as_missing(spark, small_files, base):
+    corrupted, expected = fx.drop_rows(small_files, 0.02)
+    v = ContentSha256Rule().check(_ctx(spark, corrupted, base))
+    exp = {"|".join([r.repo, r.path, r.commit]) for r in expected.collect()}
+    assert _keys(v) == exp
+    assert v.filter(F.col("observed").isNotNull()).count() == 0
+
+
+def test_extra_rows_caught(spark, small_files, base):
+    corrupted, expected = fx.extra_rows(small_files, 0.02)
+    v = ContentSha256Rule().check(_ctx(spark, corrupted, base))
+    exp = {"|".join([r.repo, r.path, r.commit]) for r in expected.collect()}
+    assert _keys(v) == exp
+    assert v.filter(F.col("expected").isNotNull()).count() == 0
+
+
+def test_dup_keys_caught_by_uniqueness_not_sha256(spark, small_files, base):
+    corrupted, expected = fx.dup_keys(small_files, 0.02)
+    exp = {"|".join([r.repo, r.path, r.commit]) for r in expected.collect()}
+    v_uni = UniquenessRule().check(_ctx(spark, corrupted, base))
+    assert _keys(v_uni) == exp
+    assert v_uni.filter(F.col("observed") != "2").count() == 0
+    # identical-content duplicates are invisible to the sha256 join —
+    # exactly the reference's blindness our uniqueness rule compensates
+    v_sha = ContentSha256Rule().check(_ctx(spark, corrupted, base))
+    assert v_sha.count() == 0
+
+
+def test_orphan_commits_caught_by_referential(spark, small_files, base):
+    corrupted, expected = fx.orphan_commits(small_files, 0.02)
+    v = ReferentialRule().check(_ctx(spark, corrupted, base))
+    exp = {f"{r.repo}|{r.commit}" for r in expected.collect()}
+    assert _keys(v) == exp
+
+
+def test_null_storm_caught_by_column_stats(spark, small_files, base):
+    corrupted, _ = fx.null_storm(small_files, "lang", 0.2)
+    v = ColumnStatsRule().check(_ctx(spark, corrupted, base))
+    assert v.count() > 0
+    assert all("lang" in r["key"] for r in v.collect())
+
+
+def test_skew_lang_caught_by_drift(spark, small_files, base):
+    corrupted = fx.skew_lang(small_files, bucket=3)
+    v = DriftRule().check(
+        _ctx(spark, corrupted, base, baseline=small_files)
+    ).filter("key like 'lang_chi2%'")
+    rows = v.collect()
+    assert [r["bucket"] for r in rows] == [3]
+
+
+def test_stretch_len_caught_by_ks(spark, small_files, base):
+    corrupted = fx.stretch_len(small_files, bucket=5, factor=4)
+    v = DriftRule().check(
+        _ctx(spark, corrupted, base, baseline=small_files)
+    ).filter("key like 'len_ks%'")
+    assert [r["bucket"] for r in v.collect()] == [5]
+
+
+def test_permutation_invariance(spark, small_files, base):
+    """Repartition/shuffle of the input must not change verdicts."""
+    corrupted, _ = fx.flip_bytes(small_files, 0.02)
+    v1 = _keys(ContentSha256Rule().check(_ctx(spark, corrupted, base)))
+    v2 = _keys(ContentSha256Rule().check(_ctx(spark, corrupted.repartition(13), base)))
+    assert v1 == v2
