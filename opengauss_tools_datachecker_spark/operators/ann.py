@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; sign-LSH bucketing
+is the scale path (candidate set shrinks by ~2^n_planes). All vector
+math uses built-in higher-order functions (zip_with / aggregate —
+JVM-side, codegen'd); no UDF.
+
+Scale design: brute force is a broadcast nested-loop — O(N·Q) dots; fine
+for N up to ~10^6 rows broadcast against any query count. Beyond that,
+LSH buckets (or an IVF coarse quantizer — same shape: assign, then
+join on cell) bound each join group; skewed buckets are AQE-split.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors: (query_id, neighbor_id, cos_sim, rank).
+
+    Self-join when ``queries`` is None. The corpus side is broadcast when
+    Catalyst's stats allow; ties broken by neighbor id (deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = (queries or df).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    pairs = q.crossJoin(corpus).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bits — reproducible on any
+    engine (the oracle re-derives the identical planes)."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for kk in range(dim):
+            h = hashlib.md5(f"{seed}_{j}_{kk}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) >= 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: concatenated signs of plane dot products."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(w) for w in row])
+        bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table sign-LSH.
+
+    Per table t: P(true neighbor shares the bucket) = (1 - θ/π)^n_planes;
+    n_tables independent plane sets union their candidates, recall
+    1-(1-p)^T. Each candidate join is per-(table, bucket) — group sizes
+    shrink 2^n_planes-fold vs brute force; AQE splits skewed buckets.
+    """
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    vec = F.col(vec_col)
+    bucket_cols = [
+        F.concat(F.lit(f"t{t}:"), lsh_bucket(vec, hyperplanes(dim, n_planes, seed=f"lsh{t}")))
+        for t in range(n_tables)
+    ]
+    bucketed = df.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        F.explode(F.array(*bucket_cols)).alias("_b"),
+    )
+    a = bucketed.select(F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "_b")
+    b = bucketed.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), "_b")
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def near_dup_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above threshold (LSH-bucketed)."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), lsh_bucket(F.col(vec_col), planes).alias("_b")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_b")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_b")
+    pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched ``mapInPandas`` operators. The image/audio codec
+libraries are NOT in this container, so the decode kernel is STUBBED
+(deterministic fake derived from the payload digest, or
+NotImplementedError in strict mode) — the Spark-side contract (schema,
+batch iteration, partitioning, UDF signatures) is real and tested.
+
+Scale notes: payloads dominate bytes — never shuffle them. Every
+operator here is map-only (mapInPandas preserves partitioning, no
+shuffle); metadata-only projections drop the payload column FIRST so
+Parquet column pruning keeps payload I/O out of metadata queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, payload binary, "
+    "meta struct<format:string, width:int, height:int, duration_ms:int>"
+)
+
+
+
+def assets_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Wrap documents as opaque binary assets (test harness for the
+    multimodal path — payload = utf-8 bytes, metadata synthesized)."""
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64(id_col), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("raw").alias("format"),
+            F.pmod(F.xxhash64(id_col, F.lit(1)), F.lit(1920)).cast("int").alias("width"),
+            F.pmod(F.xxhash64(id_col, F.lit(2)), F.lit(1080)).cast("int").alias("height"),
+            F.pmod(F.xxhash64(id_col, F.lit(3)), F.lit(60000)).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, n: int = 16, strict: bool = False) -> np.ndarray:
+    """STUB decode kernel: deterministic pseudo-pixels from the payload
+    digest. Replace with PIL/libav decode where codecs exist; strict=True
+    surfaces the NotImplementedError instead of faking."""
+    if strict:
+        raise NotImplementedError("image/audio codecs not available in this environment")
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = (digest * ((n * 4) // len(digest) + 1))[: n * 4]
+    return np.frombuffer(raw, dtype=np.uint8).astype(np.float32).reshape(-1)[:n] / 255.0
+
+
+def decode_features(assets: DataFrame, feature_dim: int = 16, strict: bool = False) -> DataFrame:
+    """Decode + feature-extract: (asset_id, kind, features array<float>).
+
+    Arrow-batched mapInPandas: each batch decodes vectorized-per-row in
+    Python (the genuine slow path — codec work), features return as an
+    Arrow list column. Payload column is consumed here and NOT emitted —
+    downstream stays metadata-sized.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(p, feature_dim, strict).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "features": feats}
+            )
+
+    return assets.mapInPandas(
+        extract, schema="asset_id long, kind string, features array<float>"
+    )
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video assets: one row per sampled frame
+    timestamp (metadata-only — the decode of each frame is the stubbed
+    kernel above). Demonstrates payload-free explode: width of the
+    output is rows, not bytes."""
+    video = assets.filter(F.col("kind") == "video").select(
+        "asset_id", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return video.select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ms"),
+    )
+
+
+def resize_meta(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning (aspect-preserving target dims) — pure metadata
+    math in Catalyst; the pixel work would live in decode_features."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(1.0), F.lit(float(max_side)) / F.greatest(w.cast("double"), h.cast("double"), F.lit(1.0))
+    )
+    return assets.select(
+        "asset_id",
+        "kind",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+    )

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.operators import ann
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),    # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),    # near 2
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk_exact(vecs):
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in ann.brute_force_topk(vecs, "vec_id", "embedding", k=1).collect()
+    }
+    assert top1[0] == 1 and top1[1] == 0 and top1[2] == 3 and top1[3] == 2
+
+
+def test_cosine_values(vecs, spark):
+    rows = ann.brute_force_topk(vecs, "vec_id", "embedding", k=4).collect()
+    sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in rows}
+    assert sims[(0, 4)] == -1.0
+    assert abs(sims[(0, 1)] - 0.99 / math.sqrt(0.99**2 + 0.1**2)) < 1e-6
+
+
+def test_lsh_recall_on_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.brute_force_topk(emb, "vec_id", "embedding", k=1).collect()
+    }
+    approx = ann.lsh_topk(emb, "vec_id", "embedding", k=1, n_planes=3, n_tables=8)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall > 0.5, f"LSH top-1 recall too low: {recall}"
+
+
+def test_near_dup_embeddings(spark, vecs):
+    dup = vecs.filter("vec_id = 0").select(
+        F.lit(100).cast("long").alias("vec_id"), "embedding"
+    )
+    pairs = ann.near_dup_embeddings(vecs.unionByName(dup), "vec_id", "embedding", 0.99)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in found

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = " ".join(f"token{i} word{i * 7 % 13}" for i in range(25))
+    rows = [
+        (0, base),
+        (1, base),                                          # exact dup of 0
+        (2, base.replace("token12", "CHANGED")),            # near dup (1 of 50 words)
+        (3, "completely different text about spark shuffle partitions and joins here"),
+        (4, "another unrelated document mentioning query plans and catalyst rules"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1] and groups[0]["n_docs"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_dedup(docs, "doc_id", "text").collect()}
+    assert (0, 1) in pairs          # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares most shingles
+    assert (3, 4) not in pairs      # unrelated docs don't collide on a full band
+
+
+def test_simhash_near_dups(docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert fps[0] == fps[1]
+    assert 0 <= fps[0] < 2**16
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(docs, "doc_id", "text", 3).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert by_pair[(0, 1)] == 1.0
+    assert 0.5 <= by_pair[(0, 2)] < 1.0
+    assert (3, 4) not in by_pair
+
+
+def test_jaccard_with_candidate_filter(spark, docs):
+    cands = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1, candidates=cands).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_lsh_bucket_cap_drops_degenerate(spark):
+    # 50 identical docs -> one giant bucket; cap excludes it entirely
+    rows = [(i, "same same same same same") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text")
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=10)
+    assert pairs.count() == 0

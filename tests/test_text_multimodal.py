@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.functions import text as tx
+from opengauss_tools_datachecker_spark.operators import multimodal as mm
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    row = df.select(
+        tx.tokens("t").alias("toks"), tx.shingles(tx.tokens("t"), 3).alias("sh")
+    ).collect()[0]
+    assert row["toks"] == ["a", "b", "c", "d"]
+    assert row["sh"] == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], "t string")
+    assert df.select(tx.shingles(tx.tokens("t"), 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_word_tokens_strip_punct(spark):
+    df = spark.createDataFrame([("Hello, world!! 42",)], "t string")
+    assert df.select(tx.word_tokens("t").alias("w")).collect()[0]["w"] == [
+        "hello", "world", "42",
+    ]
+
+
+def test_stopword_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat with a hat in a vat today fine ok",)], "t string"
+    )
+    row = df.select(
+        F.round(tx.stopword_ratio(tx.tokens("t")), 4).alias("sr"),
+        tx.quality_score("t").alias("q"),
+        F.round(tx.punct_ratio("t"), 4).alias("pr"),
+    ).collect()[0]
+    assert 0.3 < row["sr"] < 0.5
+    assert row["pr"] == 0.0
+    assert row["q"] == 1.0
+
+
+def test_fingerprint_stable_under_small_edit(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = base.replace("w30", "XX")
+    df = spark.createDataFrame([(0, base), (1, edited)], "id long, t string")
+    fps = [
+        r["fp"] for r in df.select(tx.doc_fingerprint(tx.tokens("t")).alias("fp")).collect()
+    ]
+    assert fps[0] and len(fps[0]) == 3 * 32
+    # winnowing keeps the minima: a single-word edit usually preserves them
+    assert fps[0] == fps[1] or sum(a == b for a, b in zip(fps[0], fps[1])) > 0
+
+
+def test_multimodal_roundtrip(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    assets = mm.assets_from_documents(docs)
+    assert set(assets.columns) == {"asset_id", "kind", "payload", "meta"}
+    feats = mm.decode_features(assets, feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+    # deterministic: same payload -> same features
+    again = {r["asset_id"]: r["features"] for r in mm.decode_features(assets, 16).collect()}
+    assert all(again[r["asset_id"]] == r["features"] for r in rows)
+
+
+def test_multimodal_strict_mode_raises(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(5)
+    assets = mm.assets_from_documents(docs)
+    with pytest.raises(Exception):
+        mm.decode_features(assets, strict=True).collect()
+
+
+def test_frame_sampling_and_resize(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    assets = mm.assets_from_documents(docs).cache()
+    frames = mm.sample_frames(assets, every_ms=10000)
+    vids = assets.filter("kind = 'video'").count()
+    assert frames.select("asset_id").distinct().count() == vids
+    rs = mm.resize_meta(assets, max_side=256).collect()
+    assert all(max(r["target_width"], r["target_height"]) <= 256 for r in rs)
+    assert all(r["target_width"] <= r["width"] for r in rs)
