@@ -1,10 +1,10 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry + per-operator queries with DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 (or a
+training-data extension) through the real package code; the matching
+``oracle_sql()`` entry recomputes it in portable ANSI SQL for DuckDB.
+Column names/aliases match exactly on both sides; float outputs are
+rounded identically so the order-insensitive value-hash agrees.
 """
 
 from __future__ import annotations
@@ -12,27 +12,337 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.functions.canon import row_checksum
+from opengauss_tools_datachecker_spark.functions import text as tx
+from opengauss_tools_datachecker_spark.operators import ann, dedup
+from opengauss_tools_datachecker_spark.operators.checksum import (
+    multiset_diff,
+    recover_rows,
+    symmetric_diff,
+)
+from opengauss_tools_datachecker_spark.operators.drift import (
+    categorical_histogram,
+    drift_verdicts,
+    length_histogram,
+)
+from opengauss_tools_datachecker_spark.operators.referential import orphan_keys
+from opengauss_tools_datachecker_spark.operators.uniqueness import duplicate_keys
+from opengauss_tools_datachecker_spark.operators import multimodal as mm
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- canonicalization fragments shared by the oracle SQL ----------------
+# (DuckDB renders of canon.py: decimal(38,10) for doubles, microsecond
+# timestamps, chr(0) NULL sentinel, chr(31) separator — byte-identical
+# to functions/canon.py output.)
+
+def _dd_canon(col: str, typ: str) -> str:
+    if typ == "double":
+        return f"CAST(CAST({col} AS DECIMAL(38,10)) AS VARCHAR)"
+    if typ == "ts":
+        return f"COALESCE(strftime({col}, '%Y-%m-%d %H:%M:%S.%f'), '0000-00-00 00:00:00')"
+    return f"CAST({col} AS VARCHAR)"
+
+
+def _dd_checksum(cols: list[tuple[str, str]]) -> str:
+    parts = ", ".join(f"COALESCE({_dd_canon(c, t)}, chr(0))" for c, t in cols)
+    return f"sha256(concat_ws(chr(31), {parts}))"
+
+
+LINEITEM_COLS = [
+    ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+    ("l_linenumber", "int"), ("l_quantity", "double"),
+    ("l_extendedprice", "double"), ("l_discount", "double"),
+    ("l_tax", "double"), ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+ORDERS_COLS = [
+    ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+    ("o_totalprice", "double"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+]
+
+_LI_VALUE_COLS = [c for c, _ in LINEITEM_COLS if c not in ("l_orderkey", "l_linenumber")]
+
+
+# --- reference-operator queries (SURVEY.md §2) --------------------------
+
+
+def q_row_checksum(spark, sf_dir):
+    """P1/P2: canonicalized per-row digest (MysqlUtil.java:71-79 analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", row_checksum(li, cols=_LI_VALUE_COLS, out="checksum")
+    )
+
+
+def _perturbed_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+
+def q_checksum_symdiff(spark, sf_dir):
+    """J1+F1: full-outer XOR-null symmetric difference of digest sets."""
+    src = _t(spark, sf_dir, "orders")
+    tgt = _perturbed_orders(spark, sf_dir)
+    a = src.select(row_checksum(src))
+    b = tgt.select(row_checksum(tgt))
+    return symmetric_diff(a, b)
+
+
+def q_multiset_diff(spark, sf_dir):
+    """Exact multiset diff — catches the duplicate counts the reference's
+    FULL JOIN misses (SURVEY.md §1.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(row_checksum(li))
+    dropped = li.filter(F.col("l_orderkey") % 1000 != 0)
+    duped = li.filter(F.col("l_partkey") % 997 == 0)
+    tgt_rows = dropped.unionByName(duped)
+    tgt = tgt_rows.select(row_checksum(tgt_rows))
+    return multiset_diff(src, tgt)
+
+
+def q_violation_recovery(spark, sf_dir):
+    """J2/F2: recover full source rows for source-only digests."""
+    src = _t(spark, sf_dir, "orders")
+    tgt = _perturbed_orders(spark, sf_dir)
+    a = src.select(row_checksum(src))
+    b = tgt.select(row_checksum(tgt))
+    missing = symmetric_diff(a, b).filter(F.col("side") == "source_only")
+    return recover_rows(src, missing, on="checksum")
+
+
+def q_referential_orphans(spark, sf_dir):
+    """N3: child keys absent from a (filtered) parent — anti-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    parent = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 != 0)
+    return orphan_keys(
+        li.select(F.col("l_orderkey")), parent.select(F.col("o_orderkey").alias("l_orderkey")),
+        on=["l_orderkey"],
+    )
+
+
+def q_uniqueness_dups(spark, sf_dir):
+    """N2: salted two-phase groupBy-count duplicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return duplicate_keys(li, ["l_partkey", "l_suppkey"])
+
+
+def q_column_stats(spark, sf_dir):
+    """N1/A1: per-group column statistics (exact distinct for the oracle;
+    the engine rule uses HLL approx_count_distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias("n_null_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+def q_agg_stats(spark, sf_dir):
+    """A1: StatAggregation analog — count/min/max/sum/avg per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q_status_counts(spark, sf_dir):
+    """A2: ProgressTracer analog — counts per status bucket."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- drift / histogram queries (N4) -------------------------------------
+
+
+def q_lang_histogram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_len_histogram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bin_col = F.floor(F.log2(F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)))).cast("int")
+    return d.groupBy(bin_col.alias("len_bin")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_drift_chi2(spark, sf_dir):
+    """N4: two-sample chi² per source-bucket vs rest-of-table, computed in
+    the applyInPandas drift operator; the oracle recomputes it in SQL."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.substring("source", 4, 10).cast("int")
+    )
+    hist = categorical_histogram(d, "lang", by="bucket")
+    v = drift_verdicts(hist, test="chi2", alpha=0.01)
+    return v.select("bucket", F.round("statistic", 4).alias("chi2_stat"), "drifted")
+
+
+def q_drift_ks(spark, sf_dir):
+    """N4 (rows-only check: pandas-UDF KS has no concise SQL twin)."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.substring("source", 4, 10).cast("int")
+    )
+    hist = length_histogram(d, F.col("n_chars"), by="bucket")
+    v = drift_verdicts(hist, test="ks", alpha=0.01, numeric_order=True)
+    return v.select("bucket", F.round("statistic", 4).alias("ks_stat"), "drifted")
+
+
+# --- training-data queries ----------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("digest")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("rep_doc")
+    )
+
+
+def q_minhash_bands(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(d, "doc_id", "text")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tx.tokens("text")).alias("n_tokens"),
+        F.size(tx.word_tokens("text")).alias("n_words"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    score = F.round(tx.stopword_ratio(tx.tokens("text")), 6)
+    return d.select(
+        "doc_id",
+        "lang",
+        score.alias("en_score"),
+        F.when(score > 0.03, F.lit("en")).otherwise(F.lit("other")).alias("predicted"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.doc_fingerprint(tx.tokens("text"), n=5, keep=3).alias("fp"))
+
+
+def q_embedding_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.brute_force_topk(e, "vec_id", "embedding", k=3)
+
+
+ANN_PLANES = 4
+ANN_TABLES = 2
+ANN_DIM = 64
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_topk(
+        e, "vec_id", "embedding", k=3, n_planes=ANN_PLANES, n_tables=ANN_TABLES, dim=ANN_DIM
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Rows-only check: mapInPandas decode kernel (stubbed codecs)."""
+    d = _t(spark, sf_dir, "documents")
+    assets = mm.assets_from_documents(d)
+    return mm.decode_features(assets, feature_dim=8)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship N5: sha256 manifest check over a documents-derived snapshot
+    with seeded corruption — the reference's whole pipeline as one query."""
+    from opengauss_tools_datachecker_spark.plans.rule import CheckContext
+    from opengauss_tools_datachecker_spark.plans.rules import ContentSha256Rule
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id")).alias("path"),
+        F.sha2(F.concat_ws("@", "source", "doc_id"), 256).substr(1, 40).alias("commit"),
+        "lang",
+        "text",
+    ).withColumnRenamed("text", "content")
+    manifest = files.select(
+        "repo", "path", "commit", F.sha2("content", 256).alias("expected_sha256")
+    )
+    corrupted = files.withColumn(
+        "content",
+        F.when(F.crc32(F.col("path")) % 20 == 0, F.concat(F.lit("X"), F.col("content")))
+        .otherwise(F.col("content")),
+    )
+    ctx = CheckContext(spark=spark, files=corrupted, manifest=manifest, n_buckets=8)
+    return ContentSha256Rule().check(ctx)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_row_checksum": q_row_checksum,
+        "q_checksum_symdiff": q_checksum_symdiff,
+        "q_multiset_diff": q_multiset_diff,
+        "q_violation_recovery": q_violation_recovery,
+        "q_referential_orphans": q_referential_orphans,
+        "q_uniqueness_dups": q_uniqueness_dups,
+        "q_column_stats": q_column_stats,
+        "q_agg_stats": q_agg_stats,
+        "q_status_counts": q_status_counts,
+        "q_lang_histogram": q_lang_histogram,
+        "q_len_histogram": q_len_histogram,
+        "q_drift_chi2": q_drift_chi2,
+        "q_drift_ks": q_drift_ks,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_bands": q_minhash_bands,
+        "q_simhash": q_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_token_stats": q_token_stats,
+        "q_lang_id": q_lang_id,
+        "q_quality": q_quality,
+        "q_fingerprint": q_fingerprint,
+        "q_embedding_topk": q_embedding_topk,
+        "q_ann_lsh": q_ann_lsh,
+        "q_multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from opengauss_tools_datachecker_spark.oracle_sql import ORACLES
+
+    return dict(ORACLES)

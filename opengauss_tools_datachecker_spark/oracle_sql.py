@@ -1,0 +1,322 @@
+"""DuckDB oracle SQL for every SQL-expressible ``queries()`` entry.
+
+Each statement recomputes the Spark query's result in portable SQL with
+IDENTICAL column aliases and identical float rounding. Canonicalization
+fragments mirror functions/canon.py byte-for-byte (decimal(38,10)
+rendering, microsecond timestamps, chr(0) NULL sentinel, chr(31)
+separator), so sha256 digests agree across engines.
+"""
+
+from __future__ import annotations
+
+from opengauss_tools_datachecker_spark.functions.text import EN_STOPWORDS
+from opengauss_tools_datachecker_spark.operators.ann import hyperplanes
+
+# ---- canon fragments ----------------------------------------------------
+
+
+def _canon(col: str, typ: str) -> str:
+    if typ == "double":
+        return f"CAST(CAST({col} AS DECIMAL(38,10)) AS VARCHAR)"
+    if typ == "ts":
+        return f"COALESCE(strftime({col}, '%Y-%m-%d %H:%M:%S.%f'), '0000-00-00 00:00:00')"
+    return f"CAST({col} AS VARCHAR)"
+
+
+def _checksum(cols: list[tuple[str, str]]) -> str:
+    parts = ", ".join(f"COALESCE({_canon(c, t)}, chr(0))" for c, t in cols)
+    return f"sha256(concat_ws(chr(31), {parts}))"
+
+
+LI = [
+    ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+    ("l_linenumber", "int"), ("l_quantity", "double"),
+    ("l_extendedprice", "double"), ("l_discount", "double"),
+    ("l_tax", "double"), ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+LI_VALUES = [c for c in LI if c[0] not in ("l_orderkey", "l_linenumber")]
+OC = [
+    ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+    ("o_totalprice", "double"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+]
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOPLIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def _shingle3(w: str = "w") -> str:
+    return (
+        f"list_transform(range(1, len({w})-1), "
+        f"i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))"
+    )
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_row_checksum"] = f"""
+SELECT l_orderkey, l_linenumber, {_checksum(LI_VALUES)} AS checksum
+FROM lineitem
+"""
+
+_PERTURBED = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+
+ORACLES["q_checksum_symdiff"] = f"""
+WITH src AS (SELECT {_checksum(OC)} AS checksum FROM orders),
+     tgt AS (SELECT {_checksum(OC)} AS checksum FROM ({_PERTURBED})),
+     a AS (SELECT DISTINCT checksum AS ca FROM src),
+     b AS (SELECT DISTINCT checksum AS cb FROM tgt)
+SELECT COALESCE(ca, cb) AS checksum,
+       CASE WHEN cb IS NULL THEN 'source_only' ELSE 'target_only' END AS side
+FROM a FULL OUTER JOIN b ON ca = cb
+WHERE (ca IS NULL) != (cb IS NULL)
+"""
+
+ORACLES["q_multiset_diff"] = f"""
+WITH src AS (SELECT {_checksum(LI)} AS checksum FROM lineitem),
+     t_rows AS (SELECT * FROM lineitem WHERE l_orderkey % 1000 != 0
+                UNION ALL SELECT * FROM lineitem WHERE l_partkey % 997 = 0),
+     tgt AS (SELECT {_checksum(LI)} AS checksum FROM t_rows),
+     a AS (SELECT checksum, CAST(COUNT(*) AS BIGINT) AS n_source FROM src GROUP BY 1),
+     b AS (SELECT checksum, CAST(COUNT(*) AS BIGINT) AS n_target FROM tgt GROUP BY 1)
+SELECT COALESCE(a.checksum, b.checksum) AS checksum,
+       CAST(COALESCE(n_source, 0) AS BIGINT) AS n_source,
+       CAST(COALESCE(n_target, 0) AS BIGINT) AS n_target
+FROM a FULL OUTER JOIN b ON a.checksum = b.checksum
+WHERE COALESCE(n_source, 0) != COALESCE(n_target, 0)
+"""
+
+# analytic oracle: the perturbed rows ARE the source-only digests
+ORACLES["q_violation_recovery"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 997 = 0
+"""
+
+ORACLES["q_referential_orphans"] = """
+SELECT DISTINCT l_orderkey FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 100 != 0)
+"""
+
+ORACLES["q_uniqueness_dups"] = """
+SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+ORACLES["q_column_stats"] = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ship,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY 1
+"""
+
+ORACLES["q_agg_stats"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+ORACLES["q_status_counts"] = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1
+"""
+
+ORACLES["q_lang_histogram"] = """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2
+"""
+
+ORACLES["q_len_histogram"] = """
+SELECT CAST(FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS INT) AS len_bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1
+"""
+
+ORACLES["q_drift_chi2"] = """
+WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket, lang,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(n) AS nt FROM h GROUP BY 1),
+cells AS (SELECT h.bucket, CAST(h.n AS DOUBLE) AS obs,
+                 CAST(tot.nt - h.n AS DOUBLE) AS ref
+          FROM h JOIN tot USING (lang)),
+sums AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2,
+                CAST(COUNT(*) AS BIGINT) AS k
+         FROM cells GROUP BY 1),
+stat AS (SELECT c.bucket,
+                SUM(POWER(SQRT(s.n2 / s.n1) * c.obs - SQRT(s.n1 / s.n2) * c.ref, 2)
+                    / (c.obs + c.ref)) AS st,
+                MAX(s.k) - 1 AS dof
+         FROM cells c JOIN sums s ON c.bucket = s.bucket GROUP BY 1)
+SELECT bucket, ROUND(st, 4) AS chi2_stat,
+       st > dof * POWER(1.0 - 2.0 / (9.0 * dof)
+                        + 2.3263478740 * SQRT(2.0 / (9.0 * dof)), 3) AS drifted
+FROM stat
+"""
+
+ORACLES["q_dedup_exact"] = """
+SELECT sha256(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS rep_doc
+FROM documents GROUP BY 1
+"""
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n       ".join(
+        f"list_min(list_transform(s, x -> md5('mh{j}_' || x))) AS mh{j}" for j in range(8)
+    )
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, concat_ws('#', '{b}', mh{2 * b}, mh{2 * b + 1}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_shingle3()} AS s FROM toks WHERE len(w) >= 3),
+sig AS (SELECT doc_id,
+       {mh_cols}
+       FROM sh),
+bands AS ({band_selects}),
+keep AS (SELECT band_key FROM bands GROUP BY 1
+         HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+fb AS (SELECT b.doc_id, b.band_key FROM bands b JOIN keep USING (band_key))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM fb a JOIN fb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+ORACLES["q_minhash_bands"] = _minhash_sql()
+
+
+def _simhash_sql() -> str:
+    hexhi = "'8','9','a','b','c','d','e','f'"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(w, t -> CASE WHEN substr(md5(t), {k}, 1) "
+        f"IN ({hexhi}) THEN 1 ELSE -1 END)) > 0 THEN {2 ** (k - 1)} ELSE 0 END)"
+        for k in range(1, 17)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents)
+SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM toks
+"""
+
+
+ORACLES["q_simhash"] = _simhash_sql()
+
+ORACLES["q_ngram_jaccard"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct({_shingle3()}) AS s FROM toks WHERE len(w) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b)
+WHERE jaccard >= 0.8
+"""
+
+ORACLES["q_token_stats"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+                            x -> x != '')) AS INT) AS n_words
+FROM documents
+"""
+
+ORACLES["q_lang_id"] = f"""
+SELECT doc_id, lang, en_score,
+       CASE WHEN en_score > 0.03 THEN 'en' ELSE 'other' END AS predicted
+FROM (
+  SELECT doc_id, lang,
+         ROUND(CAST(len(list_filter({_TOKS}, t -> lower(t) IN ({_STOPLIST}))) AS DOUBLE)
+               / GREATEST(len({_TOKS}), 1), 6) AS en_score
+  FROM documents)
+"""
+
+ORACLES["q_quality"] = f"""
+SELECT doc_id, ROUND((
+    (CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+  + (CASE WHEN CAST(length(text) AS DOUBLE) / GREATEST(len(w), 1) >= 2.0
+           AND CAST(length(text) AS DOUBLE) / GREATEST(len(w), 1) <= 12.0
+          THEN 1.0 ELSE 0.0 END)
+  + (1.0 - LEAST(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1) * 5.0, 1.0))
+) / 3.0, 6) AS quality
+FROM (SELECT doc_id, text, {_TOKS} AS w FROM documents)
+"""
+
+ORACLES["q_fingerprint"] = """
+SELECT doc_id,
+       array_to_string(list_sort(list_transform(
+         list_transform(range(1, len(w)-3),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])),
+         s -> md5(s)))[1:3], '') AS fp
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+"""
+
+_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+ORACLES["q_embedding_topk"] = f"""
+WITH p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ROUND({_COS}, 6) AS cos_sim
+  FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM p)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 4, n_tables: int = 2, dim: int = 64) -> str:
+    table_selects = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=f"lsh{t}")
+        sign_exprs = []
+        for row in planes:
+            lit = "[" + ", ".join(f"{w:.1f}" for w in row) + "]"
+            sign_exprs.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+                f"CAST({lit} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+            )
+        bucket = f"'t{t}:' || " + " || ".join(sign_exprs)
+        table_selects.append(f"SELECT vec_id, {bucket} AS b FROM embeddings")
+    buckets = "\nUNION ALL ".join(table_selects)
+    return f"""
+WITH buckets AS ({buckets}),
+pairs AS (SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+          FROM buckets x JOIN buckets y ON x.b = y.b AND x.vec_id != y.vec_id),
+scored AS (
+  SELECT p.query_id, p.neighbor_id, ROUND({_COS}, 6) AS cos_sim
+  FROM pairs p
+  JOIN embeddings a ON a.vec_id = p.query_id
+  JOIN embeddings b ON b.vec_id = p.neighbor_id),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= 3
+"""
+
+
+ORACLES["q_ann_lsh"] = _ann_lsh_sql()

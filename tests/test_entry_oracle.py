@@ -1,0 +1,89 @@
+"""Replay of the driver's correctness gate: every queries() entry vs its
+DuckDB oracle_sql() twin at sf0.001 — row count, column names, and
+order-insensitive value equality."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    res = ddb.sql(entrymod.oracle_sql()[name])
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} (spark) vs {len(duck_rows)} (duckdb)"
+    )
+    s = _rowset(spark_cols, [[r[c] for c in spark_cols] for r in spark_rows])
+    d = _rowset(duck_cols, duck_rows)
+    mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:3]
+    assert s == d, f"{name}: first value mismatches at {mism}: " + "; ".join(
+        f"spark={s[i]} duck={d[i]}" for i in mism
+    )
+
+
+def test_all_queries_have_oracle_or_reason():
+    qs = set(entrymod.queries())
+    os_ = set(entrymod.oracle_sql())
+    assert os_ <= qs
+    # rows-only (non-SQL-expressible) set is explicit and small
+    assert qs - os_ == {"q_drift_ks", "q_multimodal_features"}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["rule_id", "bucket", "key", "observed", "expected"]
+    assert len(rows) > 0
+    assert all(r["rule_id"] == "sha256" for r in rows)
+
+
+def test_rows_only_queries_run(spark):
+    for name in ("q_drift_ks", "q_multimodal_features"):
+        df = entrymod.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0
