@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Two phases:
+1. Full validation rule suite (sha256 + uniqueness + referential +
+   column stats + drift) over a deterministic synthetic repo-files
+   table (BASELINE.json metric: files/sec validated). Generation is
+   cached to parquet and excluded from timing.
+2. Headline operator queries from __spark_entry__ at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), each forced
+   end-to-end with a noop sink.
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "files_per_sec": ..., "n_files": ..., "cpus": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opengauss_tools_datachecker_spark import fixtures as fx
+from opengauss_tools_datachecker_spark.plans.rule import CheckContext
+from opengauss_tools_datachecker_spark.plans.runner import run_suite
+from opengauss_tools_datachecker_spark.session import get_spark
+
+HEADLINE = [
+    "q_row_checksum",
+    "q_checksum_symdiff",
+    "q_multiset_diff",
+    "q_violation_recovery",
+    "q_referential_orphans",
+    "q_uniqueness_dups",
+    "q_column_stats",
+    "q_agg_stats",
+    "q_status_counts",
+    "q_lang_histogram",
+    "q_len_histogram",
+    "q_drift_chi2",
+    "q_drift_ks",
+    "q_dedup_exact",
+    "q_minhash_bands",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_token_stats",
+    "q_lang_id",
+    "q_quality",
+    "q_fingerprint",
+    "q_embedding_topk",
+    "q_ann_lsh",
+    "q_multimodal_features",
+]
+
+
+def _force(df) -> None:
+    """Materialize the full plan (noop sink — no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_rule_suite(spark, n_files: int, seed: int = 42) -> tuple[float, int]:
+    cache = f"/tmp/datachecker_bench/files_{n_files}_{seed}"
+    if not os.path.isdir(cache + "/files"):
+        files = fx.repo_files(spark, n_files, n_repos=200, seed=seed, n_buckets=32)
+        files.write.mode("overwrite").parquet(cache + "/files")
+        fx.manifest(spark.read.parquet(cache + "/files")).write.mode("overwrite").parquet(
+            cache + "/manifest"
+        )
+    files = spark.read.parquet(cache + "/files")
+    manifest = spark.read.parquet(cache + "/manifest")
+    commits = fx.repo_commits(files)
+    corrupted, _ = fx.flip_bytes(files, 0.0001)
+    ctx = CheckContext(
+        spark=spark,
+        files=corrupted,
+        manifest=manifest,
+        commits=commits,
+        baseline=files,
+        n_buckets=32,
+    )
+    t0 = time.time()
+    run_suite(ctx)  # materializes every rule + per-bucket verdicts
+    dt = time.time() - t0
+    return dt, n_files
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "500000"))
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")},
+    )
+
+    timings: dict[str, float] = {}
+    suite_sec, n = bench_rule_suite(spark, n_files)
+    timings["rule_suite"] = round(suite_sec, 3)
+
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_sec_full_rule_suite_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "files_per_sec": round(n / suite_sec, 1),
+        "n_files": n,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

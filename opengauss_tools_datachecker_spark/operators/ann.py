@@ -55,13 +55,24 @@ def brute_force_topk(
     """
     from pyspark.sql.window import Window
 
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    q = (queries or df).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # norms precomputed per vector (N values), not per pair (N×Q values)
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    q = (queries or df).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
     pairs = q.crossJoin(corpus).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -117,10 +128,15 @@ def lsh_topk(
     bucketed = df.select(
         F.col(id_col),
         vec.alias("_v"),
+        _norm(vec).alias("_n"),
         F.explode(F.array(*bucket_cols)).alias("_b"),
     )
-    a = bucketed.select(F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "_b")
-    b = bucketed.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), "_b")
+    a = bucketed.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn"), "_b"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn"), "_b"
+    )
     pairs = (
         a.join(b, "_b")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -129,7 +145,9 @@ def lsh_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -46,9 +46,17 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature columns mh0..mh{n-1} (shuffle-free)."""
-    sig = minhash_signature(shingles(tokens(F.col(text_col)), shingle_n), n_hashes)
-    return df.select(F.col(id_col), *[c.alias(f"mh{j}") for j, c in enumerate(sig)])
+    """Per-doc MinHash signature columns mh0..mh{n-1} (shuffle-free).
+
+    The shingle array is materialized in its own projection so the
+    n_hashes min-scans share it — inlining it into each hash expression
+    makes Catalyst recompute the concat_ws per hash (measured 6x slower).
+    """
+    with_sh = df.select(
+        F.col(id_col), shingles(tokens(F.col(text_col)), shingle_n).alias("_sh")
+    )
+    sig = minhash_signature(F.col("_sh"), n_hashes)
+    return with_sh.select(F.col(id_col), *[c.alias(f"mh{j}") for j, c in enumerate(sig)])
 
 
 def lsh_candidate_pairs(
@@ -83,6 +91,10 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
+    # (id, band_key) is tiny (n_bands rows/doc, no content): cache it so
+    # the bucket-size pass and both sides of the self-join reuse one
+    # signature computation instead of three
+    bands = bands.persist()
     # bucket sizes via aggregation (windowless, one shuffle on band_key)
     bucket_sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
     bands = bands.join(

@@ -49,6 +49,34 @@ class CheckContext:
         return self.files.withColumn("bucket", bucket_of("repo", self.n_buckets))
 
 
+def prepare_files(files: DataFrame, n_buckets: int, with_digest: bool = True) -> DataFrame:
+    """Narrow pre-projection shared by the whole rule suite.
+
+    ``content`` is by far the widest column; every rule needs only its
+    digest and/or length. Projecting once means the suite scans content
+    bytes exactly ONCE (sha256 + length in the same pass), the shared
+    cache holds ~keys instead of full text, and every downstream
+    shuffle carries fixed-width columns. At 10^12 rows this is the
+    difference between re-reading the 100 TB column per rule and
+    reading it once.
+    """
+    if "bucket" not in files.columns:
+        from opengauss_tools_datachecker_spark.fixtures import bucket_of
+
+        files = files.withColumn("bucket", bucket_of("repo", n_buckets))
+    cols = [
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "bucket",
+        F.length("content").alias("content_len"),
+    ]
+    if with_digest:
+        cols.append(F.sha2(F.col("content"), 256).alias("content_sha256"))
+    return files.select(*cols)
+
+
 class Rule(Protocol):
     rule_id: str
     version: str

@@ -23,6 +23,14 @@ from opengauss_tools_datachecker_spark.operators.uniqueness import duplicate_key
 from opengauss_tools_datachecker_spark.plans.rule import CheckContext, key_expr
 
 
+def _observed_digests(ctx: CheckContext) -> DataFrame:
+    """(keys, bucket, observed) — reuses the prepared digest when present."""
+    files = ctx.files_with_bucket()
+    if "content_sha256" in files.columns:
+        return files.select(*KEY_COLS, "bucket", F.col("content_sha256").alias("observed"))
+    return files.select(*KEY_COLS, "bucket", F.sha2(F.col("content"), 256).alias("observed"))
+
+
 class ContentSha256Rule:
     """N5: per-row sha256(content) vs the reference manifest.
 
@@ -34,35 +42,67 @@ class ContentSha256Rule:
     caught directly (not just missing digests), and the join keys on
     (repo,path,commit) so digest collisions can't mask row identity.
 
-    Scale: one shuffle on the composite key each side; with both sides
-    stored bucketed-by-repo (Iceberg bucket transform) this becomes a
-    storage-partitioned join with NO shuffle — noted as the production
-    layout.
+    Merkle-bucket fast path (the north_star's "Merkle-bucket checksum
+    comparison"): before the row-level join, each side aggregates one
+    order-independent signature per bucket — bit_xor(xxhash64(key ‖
+    digest)) plus a row count. Buckets whose (signature, count) agree
+    are PROVABLY equal as sets and are skipped; only dirty buckets
+    enter the full-outer join. On mostly-clean 10^12-row tables this
+    removes almost the entire shuffle (the signature pass is a pure
+    map-side-combined agg producing #buckets rows). Disable with
+    params={'merkle': False}.
+
+    Scale: the dirty-bucket join shuffles on the composite key; with
+    both sides stored bucketed-by-repo (Iceberg bucket transform) it
+    becomes a storage-partitioned join with NO shuffle.
     """
 
     rule_id = "sha256"
-    version = "1"
+    version = "2"
 
     def check(self, ctx: CheckContext) -> DataFrame:
-        files = ctx.files_with_bucket()
-        observed = files.select(
-            *KEY_COLS, "bucket", F.sha2(F.col("content"), 256).alias("observed")
-        )
+        observed = _observed_digests(ctx)
         expected = ctx.manifest.select(
-            *KEY_COLS, F.col("expected_sha256").alias("expected")
+            *KEY_COLS,
+            bucket_of("repo", ctx.n_buckets).alias("bucket"),
+            F.col("expected_sha256").alias("expected"),
         )
-        joined = observed.join(expected, KEY_COLS, "full_outer")
-        return (
-            joined.filter(
-                ~F.col("observed").eqNullSafe(F.col("expected"))
+
+        if ctx.params.get("merkle", True):
+            def sig(df: DataFrame, digest: str, suffix: str) -> DataFrame:
+                return df.groupBy("bucket").agg(
+                    F.bit_xor(F.xxhash64(*KEY_COLS, digest)).alias(f"sig_{suffix}"),
+                    F.count(F.lit(1)).alias(f"n_{suffix}"),
+                )
+
+            merged = sig(observed, "observed", "a").join(
+                sig(expected, "expected", "b"), "bucket", "full_outer"
             )
-            .select(
-                F.lit(self.rule_id).alias("rule_id"),
-                F.coalesce(F.col("bucket"), bucket_of("repo", ctx.n_buckets)).alias("bucket"),
-                key_expr(*KEY_COLS).alias("key"),
-                "observed",
-                "expected",
-            )
+            dirty = [
+                r["bucket"]
+                for r in merged.filter(
+                    ~F.col("sig_a").eqNullSafe(F.col("sig_b"))
+                    | ~F.col("n_a").eqNullSafe(F.col("n_b"))
+                )
+                .select("bucket")
+                .collect()
+            ]
+            if not dirty:
+                from opengauss_tools_datachecker_spark.plans.rule import empty_violations
+
+                return empty_violations(ctx.spark)
+            observed = observed.filter(F.col("bucket").isin(*dirty))
+            expected = expected.filter(F.col("bucket").isin(*dirty))
+
+        joined = observed.join(
+            expected.withColumnRenamed("bucket", "bucket_exp"), KEY_COLS, "full_outer"
+        )
+        return joined.filter(~F.col("observed").eqNullSafe(F.col("expected"))).select(
+            F.lit(self.rule_id).alias("rule_id"),
+            F.coalesce(F.col("bucket"), F.col("bucket_exp")).alias("bucket"),
+            key_expr(*KEY_COLS).alias("key"),
+            "observed",
+            "expected",
         )
 
 
@@ -117,9 +157,19 @@ class ColumnStatsRule:
     rule_id = "column_stats"
     version = "1"
 
+    @staticmethod
+    def _stat_cols(files: DataFrame) -> list[str]:
+        # prepared inputs expose content as (content_len, content_sha256);
+        # stats over the digest carry content's null rate, stats over the
+        # length carry its magnitude profile — min/max over raw 100 TB
+        # text would be the wrong plan at scale.
+        wanted = ("repo", "path", "commit", "lang", "content",
+                  "content_len", "content_sha256")
+        return [c for c in wanted if c in files.columns]
+
     def check(self, ctx: CheckContext) -> DataFrame:
         files = ctx.files_with_bucket()
-        cols = [c for c in ("repo", "path", "commit", "lang", "content") if c in files.columns]
+        cols = self._stat_cols(files)
         stats = column_stats(files.select("bucket", *cols), group_col="bucket", cols=cols)
         max_null_rate = float(ctx.params.get("max_null_rate", 0.0))
         return stats.filter(F.col("null_rate") > max_null_rate).select(
@@ -132,7 +182,7 @@ class ColumnStatsRule:
 
     def stats(self, ctx: CheckContext) -> DataFrame:
         files = ctx.files_with_bucket()
-        cols = [c for c in files.columns if c not in ("bucket", "file_id")]
+        cols = self._stat_cols(files)
         return column_stats(files.select("bucket", *cols), group_col="bucket", cols=cols)
 
 
@@ -143,18 +193,22 @@ class DriftRule:
     rule_id = "drift"
     version = "1"
 
+    @staticmethod
+    def _len_expr(df: DataFrame):
+        return F.col("content_len") if "content_len" in df.columns else F.length("content")
+
     def check(self, ctx: CheckContext) -> DataFrame:
         files = ctx.files_with_bucket()
         alpha = float(ctx.params.get("alpha", 0.01))
         lang_hist = categorical_histogram(files, "lang", by="bucket")
-        len_hist = length_histogram(files, F.length("content"), by="bucket")
+        len_hist = length_histogram(files, self._len_expr(files), by="bucket")
         ref_lang = ref_len = None
         if ctx.baseline is not None:
             base = ctx.baseline
             if "bucket" not in base.columns:
                 base = base.withColumn("bucket", bucket_of("repo", ctx.n_buckets))
             ref_lang = categorical_histogram(base, "lang", by="bucket")
-            ref_len = length_histogram(base, F.length("content"), by="bucket")
+            ref_len = length_histogram(base, self._len_expr(base), by="bucket")
         chi2 = drift_verdicts(lang_hist, ref_lang, test="chi2", alpha=alpha).filter("drifted")
         ks = drift_verdicts(
             len_hist, ref_len, test="ks", alpha=alpha, numeric_order=True

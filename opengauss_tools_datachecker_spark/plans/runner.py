@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_spark.plans.checkpoint import ControlTable
-from opengauss_tools_datachecker_spark.plans.rule import CheckContext, empty_violations
+from opengauss_tools_datachecker_spark.plans.rule import (
+    CheckContext,
+    empty_violations,
+    prepare_files,
+)
 from opengauss_tools_datachecker_spark.plans.rules import ALL_RULES
 
 
@@ -59,9 +63,14 @@ def run_suite(
         r.rule_id: {b for b in all_buckets if (b, r.rule_id) not in done} for r in rules
     }
 
-    files = ctx.files_with_bucket()
-    # One shared scan for all rules in this run.
-    files = files.persist()
+    # Narrow shared projection: content scanned once (digest + length in
+    # one pass), cached fixed-width columns feed every rule.
+    files = prepare_files(ctx.files, ctx.n_buckets).persist()
+    baseline = (
+        prepare_files(ctx.baseline, ctx.n_buckets, with_digest=False)
+        if ctx.baseline is not None
+        else None
+    )
 
     violations = empty_violations(ctx.spark)
     active_rules = []
@@ -70,7 +79,7 @@ def run_suite(
         if not pending:
             continue
         active_rules.append(rule)
-        rule_files, rule_manifest, rule_baseline = files, ctx.manifest, ctx.baseline
+        rule_files, rule_manifest, rule_baseline = files, ctx.manifest, baseline
         if pending != all_buckets:
             # bucket filter → partition pruning on a bucket-partitioned
             # layout. Manifest and baseline must be pruned in lockstep or
@@ -99,6 +108,9 @@ def run_suite(
         violations = violations.unionByName(rule.check(rule_ctx))
 
     # One action: per-(bucket, rule) violation counts (tiny result).
+    # Violations are cached so callers can write/inspect them without
+    # recomputing the whole suite.
+    violations = violations.persist()
     counts = {
         (r.bucket, r.rule_id): r.n
         for r in violations.groupBy("bucket", "rule_id").agg(F.count("*").alias("n")).collect()

@@ -31,7 +31,7 @@ def test_resume_skips_completed(spark, small_files, tmp_path):
         snapshot_id="snapA",
     )
     done_rows = [(b, rid, n, s) for (b, rid, n, s) in partial.verdicts if b < 4]
-    ctl.record(spark, done_rows, "snapA", {"sha256": "1"})
+    ctl.record(spark, done_rows, "snapA", {"sha256": ContentSha256Rule().version})
 
     # resumed full run: sha256 buckets 0-3 skipped, everything else runs
     result = run_suite(

@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the plan we want, not just the answer.
+
+- filters/projections reach the parquet scan (pushdown + pruning)
+- small parents broadcast (referential anti-join, violation recovery)
+- the checksum path stays inside whole-stage codegen
+- NO row-at-a-time Python anywhere (BASELINE input_hint: 'no per-row
+  Python'); the only Python in any rule plan is grouped-map pandas
+  (drift), which is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark import fixtures as fx
+from opengauss_tools_datachecker_spark.operators.checksum import checksum_table, recover_rows
+from opengauss_tools_datachecker_spark.operators.referential import orphan_keys
+from opengauss_tools_datachecker_spark.plans.rule import CheckContext, prepare_files
+from opengauss_tools_datachecker_spark.plans.rules import ALL_RULES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_files(spark, small_files, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "files")
+    small_files.write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_filter_and_projection_pushdown(parquet_files):
+    q = parquet_files.filter(F.col("lang") == "python").select("repo", "path")
+    plan = _explain(q)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+    # column pruning: content must NOT be read for a keys-only projection
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "content" not in read_schema
+
+
+def test_prepared_projection_reads_content_once(parquet_files):
+    prepared = prepare_files(parquet_files, 8)
+    plan = _plan(prepared)
+    assert plan.count("sha2(") == 1
+    assert "*(1)" in plan  # whole-stage codegen stage marker
+
+
+def test_checksum_stays_in_codegen_no_python(parquet_files):
+    df = checksum_table(parquet_files, ["repo", "path", "commit"])
+    plan = _plan(df)
+    assert "*(1)" in plan  # whole-stage codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_referential_broadcasts_small_parent(spark, parquet_files):
+    parent = fx.repo_commits(parquet_files)
+    plan = _plan(orphan_keys(parquet_files, parent, on=["repo", "commit"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_recovery_broadcasts_digest_set(spark):
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string")
+    missing = checksum_table(src.limit(3), ["id"]).select("checksum")
+    plan = _plan(recover_rows(src, missing, value_cols=["v"]))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_no_row_python_in_any_rule(spark, parquet_files, small_files):
+    ctx = CheckContext(
+        spark=spark,
+        files=parquet_files,
+        manifest=fx.manifest(small_files),
+        commits=fx.repo_commits(small_files),
+        baseline=small_files,
+        n_buckets=8,
+        params={"merkle": False},  # keep the plan fully lazy for inspection
+    )
+    for rule in ALL_RULES:
+        plan = _plan(rule.check(ctx))
+        assert "BatchEvalPython" not in plan, f"row-Python in {rule.rule_id}"
+        if rule.rule_id != "drift":
+            assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_drift_pandas_runs_on_histograms_not_rows(spark, small_files):
+    from opengauss_tools_datachecker_spark.operators.drift import (
+        categorical_histogram,
+        drift_verdicts,
+    )
+
+    hist = categorical_histogram(small_files, "lang", by="bucket")
+    plan = _plan(drift_verdicts(hist, test="chi2"))
+    # the pandas stage consumes the aggregated histogram: an aggregate
+    # must appear BELOW the pandas operator in the plan tree
+    assert "FlatMapGroupsInPandas" in plan
+    pandas_idx = plan.index("FlatMapGroupsInPandas")
+    assert "HashAggregate" in plan[pandas_idx:]

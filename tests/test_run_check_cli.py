@@ -1,0 +1,60 @@
+"""CLI runner end-to-end: exit codes distinguish verdict-FAIL from error
+(unlike the reference's System.exit(0)-on-error, CheckRecordApplier.java:62-63)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def data(spark, small_files, tmp_path_factory):
+    from opengauss_tools_datachecker_spark import fixtures as fx
+
+    root = tmp_path_factory.mktemp("cli")
+    corrupted, _ = fx.flip_bytes(small_files, 0.02)
+    small_files.write.parquet(str(root / "clean"))
+    corrupted.write.parquet(str(root / "files"))
+    fx.manifest(small_files).write.parquet(str(root / "manifest"))
+    fx.repo_commits(small_files).write.parquet(str(root / "commits"))
+    return root
+
+
+def _run(*args) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, str(REPO / "opengauss_tools_datachecker_spark" / "run_check.py"),
+         "--master", "local[4]", "--buckets", "8", *map(str, args)],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+
+
+def test_cli_fail_exit_1(data):
+    r = _run("--files", data / "files", "--manifest", data / "manifest",
+             "--commits", data / "commits", "--rules", "sha256,uniqueness")
+    assert r.returncode == 1, r.stderr[-2000:]
+    assert "FAIL bucket=" in r.stdout
+
+
+def test_cli_clean_exit_0_and_resume(data):
+    ctl = data / "control"
+    r = _run("--files", data / "clean", "--manifest", data / "manifest",
+             "--commits", data / "commits", "--control", ctl,
+             "--snapshot", "s1", "--rules", "sha256")
+    assert r.returncode == 0, r.stderr[-2000:]
+    # second run resumes everything
+    r2 = _run("--files", data / "clean", "--manifest", data / "manifest",
+              "--commits", data / "commits", "--control", ctl,
+              "--snapshot", "s1", "--rules", "sha256")
+    assert r2.returncode == 0
+    assert "8 resumed" in r2.stdout
+
+
+def test_cli_error_exit_2(data):
+    r = _run("--files", "/nonexistent/path", "--rules", "uniqueness")
+    assert r.returncode == 2
+    assert "ERROR" in r.stderr
