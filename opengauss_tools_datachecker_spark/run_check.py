@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
         wanted = (
             None if args.rules == "all" else {r.strip() for r in args.rules.split(",")}
         )
+        if wanted is not None:
+            unknown = wanted - {r.rule_id for r in ALL_RULES}
+            if unknown:
+                raise ValueError(
+                    f"unknown rule(s): {sorted(unknown)}; "
+                    f"available: {sorted(r.rule_id for r in ALL_RULES)}"
+                )
         rules = [r for r in ALL_RULES if wanted is None or r.rule_id in wanted]
         rules = [
             r
