@@ -72,14 +72,12 @@ def bench_rule_suite(spark, n_files: int, seed: int = 42) -> tuple[float, int]:
         )
     files = spark.read.parquet(cache + "/files")
     manifest = spark.read.parquet(cache + "/manifest")
-    commits = fx.repo_commits(files)
     corrupted, _ = fx.flip_bytes(files, 0.0001)
     ctx = CheckContext(
         spark=spark,
         files=corrupted,
         manifest=manifest,
-        commits=commits,
-        baseline=files,
+        baseline=files,  # commits parent derives from the cached manifest
         n_buckets=32,
     )
     t0 = time.time()
@@ -98,7 +96,8 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")},
+        # modest heap: big G1 young gens + 32 ergonomics CPUs + steal = GC storms
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")},
     )
 
     timings: dict[str, float] = {}

@@ -49,6 +49,29 @@ def length_histogram(df: DataFrame, length_expr, by: str = "bucket") -> DataFram
     return df.groupBy(by, bin_col.alias("value")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def histogram_cube(df: DataFrame, cat_col: str, length_expr, by: str = "bucket") -> DataFrame:
+    """Joint (bucket, category, log2-length-bin) histogram in ONE pass.
+
+    Both drift inputs (the categorical histogram and the length
+    histogram) are marginals of this tiny cube (≤ buckets × categories
+    × ~40 bins rows), so the raw table is scanned and shuffled exactly
+    once per side instead of once per histogram. The two marginal
+    aggregations read the same Exchange — Spark's ReuseExchange rule
+    computes the cube subtree a single time within one job.
+    """
+    len_bin = F.floor(F.log2(F.greatest(length_expr.cast("double"), F.lit(1.0)))).cast("string")
+    return df.groupBy(by, F.col(cat_col).alias("_cat"), len_bin.alias("_len_bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cube_marginal(cube: DataFrame, which: str, by: str = "bucket") -> DataFrame:
+    """(bucket, value, n) marginal of :func:`histogram_cube` — same shape
+    as categorical_histogram / length_histogram output."""
+    col = "_cat" if which == "cat" else "_len_bin"
+    return cube.groupBy(by, F.col(col).alias("value")).agg(F.sum("n").alias("n"))
+
+
 def _two_sample_chi2(obs: np.ndarray, ref: np.ndarray) -> tuple[float, int]:
     """Two-sample chi² homogeneity statistic over aligned category counts."""
     mask = (obs + ref) > 0

@@ -29,13 +29,16 @@ def orphan_keys(
     """Distinct child keys with no matching parent row (must be empty).
 
     ``parent_rows``: caller-provided stats estimate (catalog stats /
-    Iceberg snapshot summary in production); when None a count job runs
-    — acceptable because the parent is the small dimension by contract.
+    Iceberg snapshot summary in production). When provided, the
+    broadcast-vs-shuffle choice is made from it explicitly. When None,
+    NO extra count job runs — the join is left to AQE, which re-plans
+    a sort-merge join into a broadcast join at runtime from the actual
+    shuffle sizes (the same "chosen by table stats" decision, using
+    runtime stats instead of catalog stats, with zero extra passes over
+    the data).
     """
     child_keys = child.select(*on).distinct()
     parent_keys = parent.select(*on).distinct()
-    if parent_rows is None:
-        parent_rows = parent_keys.count()
-    if parent_rows <= broadcast_threshold_rows:
+    if parent_rows is not None and parent_rows <= broadcast_threshold_rows:
         parent_keys = F.broadcast(parent_keys)
     return child_keys.join(parent_keys, on, "left_anti")

@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_spark.fixtures import KEY_COLS, bucket_of
 from opengauss_tools_datachecker_spark.operators.drift import (
-    categorical_histogram,
+    cube_marginal,
     drift_verdicts,
-    length_histogram,
+    histogram_cube,
 )
 from opengauss_tools_datachecker_spark.operators.referential import orphan_keys
 from opengauss_tools_datachecker_spark.operators.stats import column_stats
@@ -62,9 +62,14 @@ class ContentSha256Rule:
 
     def check(self, ctx: CheckContext) -> DataFrame:
         observed = _observed_digests(ctx)
+        manifest_bucket = (
+            F.col("bucket")
+            if "bucket" in ctx.manifest.columns
+            else bucket_of("repo", ctx.n_buckets)
+        )
         expected = ctx.manifest.select(
             *KEY_COLS,
-            bucket_of("repo", ctx.n_buckets).alias("bucket"),
+            manifest_bucket.alias("bucket"),
             F.col("expected_sha256").alias("expected"),
         )
 
@@ -200,15 +205,19 @@ class DriftRule:
     def check(self, ctx: CheckContext) -> DataFrame:
         files = ctx.files_with_bucket()
         alpha = float(ctx.params.get("alpha", 0.01))
-        lang_hist = categorical_histogram(files, "lang", by="bucket")
-        len_hist = length_histogram(files, self._len_expr(files), by="bucket")
+        # one scan+shuffle per side: both histograms are marginals of the
+        # joint cube, whose Exchange is computed once (ReuseExchange)
+        cube = histogram_cube(files, "lang", self._len_expr(files), by="bucket")
+        lang_hist = cube_marginal(cube, "cat")
+        len_hist = cube_marginal(cube, "len")
         ref_lang = ref_len = None
         if ctx.baseline is not None:
             base = ctx.baseline
             if "bucket" not in base.columns:
                 base = base.withColumn("bucket", bucket_of("repo", ctx.n_buckets))
-            ref_lang = categorical_histogram(base, "lang", by="bucket")
-            ref_len = length_histogram(base, self._len_expr(base), by="bucket")
+            ref_cube = histogram_cube(base, "lang", self._len_expr(base), by="bucket")
+            ref_lang = cube_marginal(ref_cube, "cat")
+            ref_len = cube_marginal(ref_cube, "len")
         chi2 = drift_verdicts(lang_hist, ref_lang, test="chi2", alpha=alpha).filter("drifted")
         ks = drift_verdicts(
             len_hist, ref_len, test="ks", alpha=alpha, numeric_order=True

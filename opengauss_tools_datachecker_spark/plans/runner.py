@@ -71,6 +71,31 @@ def run_suite(
         if ctx.baseline is not None
         else None
     )
+    # Manifest pruned to key + digest + bucket and cached: the sha256
+    # rule reads it twice (Merkle signature pass + row-level join) and
+    # the derived commits parent reads it again — one storage scan total.
+    manifest = None
+    if ctx.manifest is not None:
+        from opengauss_tools_datachecker_spark.fixtures import KEY_COLS, bucket_of
+
+        manifest = ctx.manifest.select(
+            *KEY_COLS,
+            "expected_sha256",
+            bucket_of("repo", ctx.n_buckets).alias("bucket"),
+        ).persist()
+    # One job materializes both caches so the rule subtrees (which run
+    # concurrently inside the single verdict action) never race to
+    # compute them independently.
+    to_warm = files.select(F.lit(1).alias("one"))
+    if manifest is not None:
+        to_warm = to_warm.unionAll(manifest.select(F.lit(1).alias("one")))
+    to_warm.count()
+
+    # Referential parent: explicit commits table, else derived from the
+    # cached manifest (the trusted reference defines key validity).
+    commits = ctx.commits
+    if commits is None and manifest is not None:
+        commits = manifest.select("repo", "commit").distinct()
 
     violations = empty_violations(ctx.spark)
     active_rules = []
@@ -79,27 +104,21 @@ def run_suite(
         if not pending:
             continue
         active_rules.append(rule)
-        rule_files, rule_manifest, rule_baseline = files, ctx.manifest, baseline
+        rule_files, rule_manifest, rule_baseline = files, manifest, baseline
         if pending != all_buckets:
             # bucket filter → partition pruning on a bucket-partitioned
             # layout. Manifest and baseline must be pruned in lockstep or
             # the full-outer joins report skipped buckets as missing.
-            from opengauss_tools_datachecker_spark.fixtures import bucket_of
-
             rule_files = files.filter(F.col("bucket").isin(*pending))
             if rule_manifest is not None:
-                rule_manifest = rule_manifest.filter(
-                    bucket_of("repo", ctx.n_buckets).isin(*pending)
-                )
+                rule_manifest = rule_manifest.filter(F.col("bucket").isin(*pending))
             if rule_baseline is not None:
-                rule_baseline = rule_baseline.filter(
-                    bucket_of("repo", ctx.n_buckets).isin(*pending)
-                )
+                rule_baseline = rule_baseline.filter(F.col("bucket").isin(*pending))
         rule_ctx = CheckContext(
             spark=ctx.spark,
             files=rule_files,
             manifest=rule_manifest,
-            commits=ctx.commits,  # parent side stays global (validity set)
+            commits=commits,  # parent side stays global (validity set)
             baseline=rule_baseline,
             n_buckets=ctx.n_buckets,
             run_id=ctx.run_id,
@@ -124,4 +143,6 @@ def run_suite(
     if control is not None and verdict_rows:
         control.record(ctx.spark, verdict_rows, snapshot_id, rule_versions, run_id=ctx.run_id)
     files.unpersist()
+    if manifest is not None:
+        manifest.unpersist()
     return RunResult(violations=violations, verdicts=verdict_rows, skipped=done)

@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
             r
             for r in rules
             if not (r.rule_id == "sha256" and manifest is None)
-            and not (r.rule_id == "referential" and commits is None)
+            and not (r.rule_id == "referential" and commits is None and manifest is None)
         ]
 
         ctx = CheckContext(
