@@ -232,6 +232,12 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs: high-byte band join + popcount filter."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=6)
+
+
 def q_token_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -277,6 +283,13 @@ def q_ann_lsh(spark, sf_dir):
     return ann.lsh_topk(
         e, "vec_id", "embedding", k=3, n_planes=ANN_PLANES, n_tables=ANN_TABLES, dim=ANN_DIM
     )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline
+    (ann.near_dup_embeddings is the LSH-pruned scale path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.exact_near_dup_pairs(e, "vec_id", "embedding", threshold=0.3)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -332,12 +345,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_bands": q_minhash_bands,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash_neardup": q_simhash_neardup,
         "q_token_stats": q_token_stats,
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
         "q_embedding_topk": q_embedding_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_embedding_neardup": q_embedding_neardup,
         "q_multimodal_features": q_multimodal_features,
     }
 

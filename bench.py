@@ -47,12 +47,14 @@ HEADLINE = [
     "q_minhash_bands",
     "q_simhash",
     "q_ngram_jaccard",
+    "q_simhash_neardup",
     "q_token_stats",
     "q_lang_id",
     "q_quality",
     "q_fingerprint",
     "q_embedding_topk",
     "q_ann_lsh",
+    "q_embedding_neardup",
     "q_multimodal_features",
 ]
 

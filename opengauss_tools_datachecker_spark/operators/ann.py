@@ -153,6 +153,24 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def exact_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT all-pairs baseline.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b and rounded cosine
+    ≥ threshold. O(N²) dots — the correctness oracle for
+    :func:`near_dup_embeddings`, which prunes the pair space with
+    sign-LSH buckets at scale.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def near_dup_embeddings(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 8
 ) -> DataFrame:

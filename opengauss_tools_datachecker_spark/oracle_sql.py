@@ -215,6 +215,25 @@ SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM toks
 
 ORACLES["q_simhash"] = _simhash_sql()
 
+
+def _simhash_neardup_sql(max_hamming: int = 6) -> str:
+    """Same banding as dedup.simhash_near_dups: equi-join on the high
+    byte (simhash // 256), then exact popcount filter — the oracle
+    reproduces the band semantics, not an unbanded all-pairs scan."""
+    base = _simhash_sql().strip().rstrip()
+    return f"""
+WITH fp AS ({base})
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS INT)
+           AS hamming
+  FROM fp a JOIN fp b ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id)
+WHERE hamming <= {max_hamming}
+"""
+
+
+ORACLES["q_simhash_neardup"] = _simhash_neardup_sql()
+
 ORACLES["q_ngram_jaccard"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, list_distinct({_shingle3()}) AS s FROM toks WHERE len(w) >= 3),
@@ -320,3 +339,10 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <
 
 
 ORACLES["q_ann_lsh"] = _ann_lsh_sql()
+
+ORACLES["q_embedding_neardup"] = f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cos_sim >= 0.3
+"""

@@ -54,3 +54,18 @@ def test_near_dup_embeddings(spark, vecs):
     pairs = ann.near_dup_embeddings(vecs.unionByName(dup), "vec_id", "embedding", 0.99)
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 100) in found
+
+
+def test_exact_near_dup_pairs(spark, vecs):
+    dup = vecs.filter("vec_id = 0").select(
+        F.lit(100).cast("long").alias("vec_id"), "embedding"
+    )
+    pairs = ann.exact_near_dup_pairs(vecs.unionByName(dup), "vec_id", "embedding", 0.99)
+    rows = {(r.id_a, r.id_b): r.cos_sim for r in pairs.collect()}
+    assert (0, 100) in rows and rows[(0, 100)] == 1.0
+    # ordering invariant: only id_a < id_b pairs, no self-pairs
+    assert all(a < b for a, b in rows)
+    # exact baseline is a superset of the LSH-pruned result
+    lsh = ann.near_dup_embeddings(vecs.unionByName(dup), "vec_id", "embedding", 0.99)
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert lsh_pairs <= set(rows)

@@ -61,3 +61,18 @@ def test_lsh_bucket_cap_drops_degenerate(spark):
     sigs = dedup.minhash_signatures(df, "doc_id", "text")
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=10)
     assert pairs.count() == 0
+
+
+def test_simhash_near_dups_finds_identical_text(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog again and again"),
+         ("b", "the quick brown fox jumps over the lazy dog again and again"),
+         ("c", "completely different words about database validation engines here")],
+        "doc_id string, text string",
+    )
+    pairs = dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=0)
+    found = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    assert ("a", "b", 0) in found
+    assert all(h == 0 for (_, _, h) in found)
