@@ -83,13 +83,19 @@ def run_suite(
             "expected_sha256",
             bucket_of("repo", ctx.n_buckets).alias("bucket"),
         ).persist()
-    # One job materializes both caches so the rule subtrees (which run
-    # concurrently inside the single verdict action) never race to
-    # compute them independently.
-    to_warm = files.select(F.lit(1).alias("one"))
-    if manifest is not None:
-        to_warm = to_warm.unionAll(manifest.select(F.lit(1).alias("one")))
-    to_warm.count()
+    # The caches must be materialized by ONE job before the combined
+    # verdict action, or its concurrent rule subtrees race to compute
+    # them independently. When the sha256 rule runs with the Merkle
+    # fast path, its signature job (an agg over both caches) already
+    # does this during plan construction; otherwise warm explicitly.
+    merkle_warms = any(
+        r.rule_id == "sha256" and per_rule_pending[r.rule_id] for r in rules
+    ) and ctx.params.get("merkle", True) and ctx.manifest is not None
+    if not merkle_warms:
+        to_warm = files.select(F.lit(1).alias("one"))
+        if manifest is not None:
+            to_warm = to_warm.unionAll(manifest.select(F.lit(1).alias("one")))
+        to_warm.count()
 
     # Referential parent: explicit commits table, else derived from the
     # cached manifest (the trusted reference defines key validity).
