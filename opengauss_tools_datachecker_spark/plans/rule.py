@@ -37,6 +37,11 @@ class CheckContext:
     manifest: DataFrame | None = None    # (repo,path,commit,expected_sha256)
     commits: DataFrame | None = None     # parent (repo,commit)
     baseline: DataFrame | None = None    # reference snapshot (files-shaped) for drift
+    baseline_cube: DataFrame | None = None  # precomputed drift histogram cube
+    #   (operators.drift.histogram_cube of the baseline snapshot). At
+    #   100 TB the baseline is NEVER rescanned per run — its tiny
+    #   (bucket, lang, len-bin, n) cube is computed once when the
+    #   baseline is blessed and checkpointed next to the control table.
     n_buckets: int = 32
     run_id: str = "run0"
     params: dict = field(default_factory=dict)
@@ -70,6 +75,11 @@ def prepare_files(files: DataFrame, n_buckets: int, with_digest: bool = True) ->
         "commit",
         "lang",
         "bucket",
+        # 64-bit key hash computed once in the same scan: uniqueness
+        # groups on it, the Merkle sub-bucket split derives from it —
+        # downstream shuffles carry 8-byte longs instead of ~100-byte
+        # composite string keys.
+        F.xxhash64("repo", "path", "commit").alias("key_hash"),
         F.length("content").alias("content_len"),
     ]
     if with_digest:

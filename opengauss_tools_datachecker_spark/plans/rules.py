@@ -24,11 +24,16 @@ from opengauss_tools_datachecker_spark.plans.rule import CheckContext, key_expr
 
 
 def _observed_digests(ctx: CheckContext) -> DataFrame:
-    """(keys, bucket, observed) — reuses the prepared digest when present."""
+    """(keys, bucket[, key_hash], observed) — reuses prepared columns."""
     files = ctx.files_with_bucket()
+    extra = ["key_hash"] if "key_hash" in files.columns else []
     if "content_sha256" in files.columns:
-        return files.select(*KEY_COLS, "bucket", F.col("content_sha256").alias("observed"))
-    return files.select(*KEY_COLS, "bucket", F.sha2(F.col("content"), 256).alias("observed"))
+        return files.select(
+            *KEY_COLS, "bucket", *extra, F.col("content_sha256").alias("observed")
+        )
+    return files.select(
+        *KEY_COLS, "bucket", *extra, F.sha2(F.col("content"), 256).alias("observed")
+    )
 
 
 class ContentSha256Rule:
@@ -70,34 +75,58 @@ class ContentSha256Rule:
         expected = ctx.manifest.select(
             *KEY_COLS,
             manifest_bucket.alias("bucket"),
+            *(["key_hash"] if "key_hash" in ctx.manifest.columns else []),
             F.col("expected_sha256").alias("expected"),
         )
 
         if ctx.params.get("merkle", True):
+            # Two-level Merkle: signatures at (bucket, sub-bucket)
+            # granularity, sub = pmod(key_hash, n_sub). With 32 buckets ×
+            # 1024 subs, a corruption touching f of the rows dirties at
+            # most f·n_rows sub-buckets — the row-level full-outer join
+            # then processes only ~that fraction of the table instead of
+            # every row in any dirty bucket. The signature pass itself is
+            # a map-side-combined agg emitting ≤ buckets×n_sub rows.
+            n_sub = int(ctx.params.get("merkle_subbuckets", 1024))
+
+            def with_sub(df: DataFrame) -> DataFrame:
+                kh = (
+                    F.col("key_hash")
+                    if "key_hash" in df.columns
+                    else F.xxhash64(*KEY_COLS)
+                )
+                return df.withColumn("_sub", F.pmod(kh, F.lit(n_sub)).cast("int"))
+
+            obs_s, exp_s = with_sub(observed), with_sub(expected)
+
             def sig(df: DataFrame, digest: str, suffix: str) -> DataFrame:
-                return df.groupBy("bucket").agg(
+                return df.groupBy("bucket", "_sub").agg(
                     F.bit_xor(F.xxhash64(*KEY_COLS, digest)).alias(f"sig_{suffix}"),
                     F.count(F.lit(1)).alias(f"n_{suffix}"),
                 )
 
-            merged = sig(observed, "observed", "a").join(
-                sig(expected, "expected", "b"), "bucket", "full_outer"
+            merged = sig(obs_s, "observed", "a").join(
+                sig(exp_s, "expected", "b"), ["bucket", "_sub"], "full_outer"
             )
-            dirty = [
-                r["bucket"]
-                for r in merged.filter(
-                    ~F.col("sig_a").eqNullSafe(F.col("sig_b"))
-                    | ~F.col("n_a").eqNullSafe(F.col("n_b"))
-                )
-                .select("bucket")
-                .collect()
-            ]
+            dirty = merged.filter(
+                ~F.col("sig_a").eqNullSafe(F.col("sig_b"))
+                | ~F.col("n_a").eqNullSafe(F.col("n_b"))
+            ).select("bucket", "_sub").collect()
             if not dirty:
                 from opengauss_tools_datachecker_spark.plans.rule import empty_violations
 
                 return empty_violations(ctx.spark)
-            observed = observed.filter(F.col("bucket").isin(*dirty))
-            expected = expected.filter(F.col("bucket").isin(*dirty))
+            # Dirty set is bounded by buckets×n_sub (tiny): ship it back as
+            # a literal broadcast semi-join — no recompute, no giant IN list.
+            dirty_df = ctx.spark.createDataFrame(
+                [(r["bucket"], r["_sub"]) for r in dirty], "bucket int, _sub int"
+            )
+            observed = obs_s.join(
+                F.broadcast(dirty_df), ["bucket", "_sub"], "left_semi"
+            ).drop("_sub")
+            expected = exp_s.join(
+                F.broadcast(dirty_df), ["bucket", "_sub"], "left_semi"
+            ).drop("_sub")
 
         joined = observed.join(
             expected.withColumnRenamed("bucket", "bucket_exp"), KEY_COLS, "full_outer"
@@ -120,7 +149,10 @@ class UniquenessRule:
     def check(self, ctx: CheckContext) -> DataFrame:
         files = ctx.files_with_bucket()
         dupes = duplicate_keys(
-            files, KEY_COLS, salt_buckets=int(ctx.params.get("salt_buckets", 64))
+            files,
+            KEY_COLS,
+            salt_buckets=int(ctx.params.get("salt_buckets", 64)),
+            key_hash=F.col("key_hash") if "key_hash" in files.columns else None,
         )
         return dupes.select(
             F.lit(self.rule_id).alias("rule_id"),
@@ -211,11 +243,13 @@ class DriftRule:
         lang_hist = cube_marginal(cube, "cat")
         len_hist = cube_marginal(cube, "len")
         ref_lang = ref_len = None
-        if ctx.baseline is not None:
+        ref_cube = ctx.baseline_cube
+        if ref_cube is None and ctx.baseline is not None:
             base = ctx.baseline
             if "bucket" not in base.columns:
                 base = base.withColumn("bucket", bucket_of("repo", ctx.n_buckets))
             ref_cube = histogram_cube(base, "lang", self._len_expr(base), by="bucket")
+        if ref_cube is not None:
             ref_lang = cube_marginal(ref_cube, "cat")
             ref_len = cube_marginal(ref_cube, "len")
         chi2 = drift_verdicts(lang_hist, ref_lang, test="chi2", alpha=alpha).filter("drifted")

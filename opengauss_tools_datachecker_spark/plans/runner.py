@@ -19,7 +19,8 @@ FAIL verdicts, 2 on errors.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,10 +39,15 @@ class RunResult:
     violations: DataFrame          # (rule_id, bucket, key, observed, expected)
     verdicts: list[tuple]          # collected (bucket, rule_id, n_violations, status)
     skipped: set[tuple[int, str]]  # (bucket, rule_id) resumed from checkpoint
+    cached: list[DataFrame] = field(default_factory=list)  # per-rule persisted frames
 
     @property
     def failed(self) -> bool:
         return any(status == "FAIL" for (_, _, _, status) in self.verdicts)
+
+    def unpersist_all(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 def run_suite(
@@ -66,9 +72,11 @@ def run_suite(
     # Narrow shared projection: content scanned once (digest + length in
     # one pass), cached fixed-width columns feed every rule.
     files = prepare_files(ctx.files, ctx.n_buckets).persist()
+    # When the baseline's histogram cube is precomputed (the production
+    # path), the baseline table itself is never scanned here.
     baseline = (
         prepare_files(ctx.baseline, ctx.n_buckets, with_digest=False)
-        if ctx.baseline is not None
+        if ctx.baseline is not None and ctx.baseline_cube is None
         else None
     )
     # Manifest pruned to key + digest + bucket and cached: the sha256
@@ -82,6 +90,7 @@ def run_suite(
             *KEY_COLS,
             "expected_sha256",
             bucket_of("repo", ctx.n_buckets).alias("bucket"),
+            F.xxhash64(*KEY_COLS).alias("key_hash"),
         ).persist()
     # The caches must be materialized by ONE job before the combined
     # verdict action, or its concurrent rule subtrees race to compute
@@ -103,14 +112,15 @@ def run_suite(
     if commits is None and manifest is not None:
         commits = manifest.select("repo", "commit").distinct()
 
-    violations = empty_violations(ctx.spark)
     active_rules = []
+    rule_frames: list[DataFrame] = []
     for rule in rules:
         pending = per_rule_pending[rule.rule_id]
         if not pending:
             continue
         active_rules.append(rule)
         rule_files, rule_manifest, rule_baseline = files, manifest, baseline
+        rule_baseline_cube = ctx.baseline_cube
         if pending != all_buckets:
             # bucket filter → partition pruning on a bucket-partitioned
             # layout. Manifest and baseline must be pruned in lockstep or
@@ -120,25 +130,41 @@ def run_suite(
                 rule_manifest = rule_manifest.filter(F.col("bucket").isin(*pending))
             if rule_baseline is not None:
                 rule_baseline = rule_baseline.filter(F.col("bucket").isin(*pending))
+            if rule_baseline_cube is not None:
+                rule_baseline_cube = rule_baseline_cube.filter(F.col("bucket").isin(*pending))
         rule_ctx = CheckContext(
             spark=ctx.spark,
             files=rule_files,
             manifest=rule_manifest,
             commits=commits,  # parent side stays global (validity set)
             baseline=rule_baseline,
+            baseline_cube=rule_baseline_cube,
             n_buckets=ctx.n_buckets,
             run_id=ctx.run_id,
             params=ctx.params,
         )
-        violations = violations.unionByName(rule.check(rule_ctx))
+        # Building the sha256 plan runs its Merkle signature job here
+        # (serial, doubles as the cache warm); other rules build lazily.
+        rule_frames.append(rule.check(rule_ctx).persist())
 
-    # One action: per-(bucket, rule) violation counts (tiny result).
-    # Violations are cached so callers can write/inspect them without
-    # recomputing the whole suite.
-    violations = violations.persist()
+    # Materialize every rule CONCURRENTLY: per-rule violation counts are
+    # independent actions submitted from a thread pool, so Spark's
+    # scheduler interleaves their stages — per-action fixed costs (AQE
+    # stage materialization barriers, broadcast builds, collect round
+    # trips) overlap instead of summing. The reference runs tables
+    # concurrently the same way (TableController semaphore,
+    # /root/reference src/main/java/com/gauss/controller/TableController.java:29-42).
+    def _count(v: DataFrame):
+        return v.groupBy("bucket", "rule_id").agg(F.count("*").alias("n")).collect()
+
+    if rule_frames:
+        with ThreadPoolExecutor(max_workers=len(rule_frames)) as pool:
+            per_rule_counts = list(pool.map(_count, rule_frames))
+    else:
+        per_rule_counts = []
+
     counts = {
-        (r.bucket, r.rule_id): r.n
-        for r in violations.groupBy("bucket", "rule_id").agg(F.count("*").alias("n")).collect()
+        (r.bucket, r.rule_id): r.n for rows in per_rule_counts for r in rows
     }
     verdict_rows = []
     for rule in active_rules:
@@ -146,9 +172,15 @@ def run_suite(
             n = counts.get((b, rule.rule_id), 0)
             verdict_rows.append((b, rule.rule_id, n, "FAIL" if n > 0 else "PASS"))
 
+    violations = empty_violations(ctx.spark)
+    for vf in rule_frames:
+        violations = violations.unionByName(vf)
+
     if control is not None and verdict_rows:
         control.record(ctx.spark, verdict_rows, snapshot_id, rule_versions, run_id=ctx.run_id)
     files.unpersist()
     if manifest is not None:
         manifest.unpersist()
-    return RunResult(violations=violations, verdicts=verdict_rows, skipped=done)
+    return RunResult(
+        violations=violations, verdicts=verdict_rows, skipped=done, cached=rule_frames
+    )

@@ -29,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--manifest", help="reference manifest path")
     p.add_argument("--commits", help="parent (repo, commit) table path")
     p.add_argument("--baseline", help="baseline snapshot path for drift")
+    p.add_argument(
+        "--baseline-cube",
+        help="precomputed baseline histogram cube path (operators.drift."
+        "histogram_cube output); skips rescanning the baseline table",
+    )
     p.add_argument("--control", help="control-table dir for checkpoint/resume")
     p.add_argument("--snapshot", default="snap0", help="input snapshot id (lineage)")
     p.add_argument("--buckets", type=int, default=32)
@@ -52,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
         manifest = read_table(spark, args.manifest, args.format) if args.manifest else None
         commits = read_table(spark, args.commits, args.format) if args.commits else None
         baseline = read_table(spark, args.baseline, args.format) if args.baseline else None
+        baseline_cube = (
+            read_table(spark, args.baseline_cube, args.format) if args.baseline_cube else None
+        )
 
         wanted = (
             None if args.rules == "all" else {r.strip() for r in args.rules.split(",")}
@@ -77,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
             manifest=manifest,
             commits=commits,
             baseline=baseline,
+            baseline_cube=baseline_cube,
             n_buckets=args.buckets,
         )
         control = ControlTable(args.control) if args.control else None
