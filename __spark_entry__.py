@@ -268,6 +268,34 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", tx.doc_fingerprint(tx.tokens("text"), n=5, keep=3).alias("fp"))
 
 
+def q_minhash_verified(spark, sf_dir):
+    """Two-stage near-dup pipeline: MinHash-LSH candidates verified by
+    exact shingle Jaccard (the production path — LSH prunes the pair
+    space, the exact measure confirms)."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
+    )
+
+
+def q_catalog_scan(spark, sf_dir):
+    """S9 catalog scan analog: every table in the directory with its
+    row count (metadata-only parquet counts)."""
+    from functools import reduce
+
+    from opengauss_tools_datachecker_spark.sources.catalog import list_parquet_tables
+
+    frames = [
+        spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in list_parquet_tables(spark, sf_dir)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def q_embedding_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return ann.brute_force_topk(e, "vec_id", "embedding", k=3)
@@ -283,6 +311,12 @@ def q_ann_lsh(spark, sf_dir):
     return ann.lsh_topk(
         e, "vec_id", "embedding", k=3, n_planes=ANN_PLANES, n_tables=ANN_TABLES, dim=ANN_DIM
     )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (nprobe=1) — the cell-join scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(e, "vec_id", "embedding", k=3, n_centroids=8, dim=ANN_DIM)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -346,12 +380,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash_neardup": q_simhash_neardup,
+        "q_minhash_verified": q_minhash_verified,
+        "q_catalog_scan": q_catalog_scan,
         "q_token_stats": q_token_stats,
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
         "q_embedding_topk": q_embedding_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_multimodal_features": q_multimodal_features,
     }

@@ -48,12 +48,15 @@ HEADLINE = [
     "q_simhash",
     "q_ngram_jaccard",
     "q_simhash_neardup",
+    "q_minhash_verified",
+    "q_catalog_scan",
     "q_token_stats",
     "q_lang_id",
     "q_quality",
     "q_fingerprint",
     "q_embedding_topk",
     "q_ann_lsh",
+    "q_ann_ivf",
     "q_embedding_neardup",
     "q_multimodal_features",
 ]

@@ -153,6 +153,89 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_centroids(dim: int, n_centroids: int = 8, seed: str = "ivf") -> list[list[float]]:
+    """Deterministic unit-norm coarse centroids from md5 bits.
+
+    A k-means-free quantizer: reproducible on any engine (the oracle
+    re-derives identical centroids), good enough to partition the space
+    into balanced cells. In production, swap for k-means centroids fit
+    on a sample — the query shapes below are unchanged.
+    """
+    cents = []
+    for j in range(n_centroids):
+        row = []
+        for k in range(dim):
+            h = hashlib.md5(f"{seed}_{j}_{k}".encode()).hexdigest()
+            row.append((int(h[:8], 16) / 4294967296.0) * 2.0 - 1.0)
+        norm = sum(x * x for x in row) ** 0.5
+        cents.append([x / norm for x in row])
+    return cents
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id (argmax dot with unit centroids ==
+    argmax cosine). Ties break to the LOWER cell id — array_max over
+    (score, -cell) structs compares fields left to right."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(vec, F.array(*[F.lit(w) for w in c])).alias("s"),
+                F.lit(-j).alias("nj"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["nj"]).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    dim: int | None = None,
+    seed: str = "ivf",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign each vector to its
+    nearest coarse centroid, search within the cell (nprobe=1).
+
+    The scale path beyond LSH: cells shrink the candidate join
+    ~n_centroids-fold and the cell assignment is a pure map (codegen'd
+    higher-order dot products, no UDF). Recall is bounded by nprobe;
+    production raises it by also joining each query against its next-P
+    cells — same join shape, P× candidates. AQE splits skewed cells.
+    """
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cents = ivf_centroids(dim, n_centroids, seed)
+    vec = F.col(vec_col)
+    assigned = df.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        _norm(vec).alias("_n"),
+        ivf_assign(vec, cents).alias("_cell"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn"), "_cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn"), "_cell"
+    )
+    pairs = a.join(b, "_cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def exact_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.3
 ) -> DataFrame:

@@ -10,7 +10,7 @@ separator), so sha256 digests agree across engines.
 from __future__ import annotations
 
 from opengauss_tools_datachecker_spark.functions.text import EN_STOPWORDS
-from opengauss_tools_datachecker_spark.operators.ann import hyperplanes
+from opengauss_tools_datachecker_spark.operators.ann import hyperplanes, ivf_centroids
 
 # ---- canon fragments ----------------------------------------------------
 
@@ -339,6 +339,71 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <
 
 
 ORACLES["q_ann_lsh"] = _ann_lsh_sql()
+
+def _ann_ivf_sql(n_centroids: int = 8, dim: int = 64, k: int = 3) -> str:
+    """IVF nprobe=1: assign to nearest unit centroid (argmax dot; ties →
+    lowest cell id, matching ann.ivf_assign's (score, -cell) struct-max),
+    then top-k within the cell."""
+    cents = ivf_centroids(dim, n_centroids)
+    dots = []
+    for j, row in enumerate(cents):
+        lit = "[" + ", ".join(repr(w) for w in row) + "]"
+        dots.append(
+            f"list_dot_product(CAST(embedding AS DOUBLE[]), CAST({lit} AS DOUBLE[])) AS s{j}"
+        )
+    s_cols = ", ".join(dots)
+    g = "GREATEST(" + ", ".join(f"s{j}" for j in range(n_centroids)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s{j} = g THEN {j}" for j in range(n_centroids)
+    ) + " END"
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {s_cols} FROM embeddings),
+asgn AS (SELECT vec_id, embedding, {case} AS cell
+         FROM (SELECT *, {g} AS g FROM d)),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ROUND({_COS}, 6) AS cos_sim
+      FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM p)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= {k}
+"""
+
+
+ORACLES["q_ann_ivf"] = _ann_ivf_sql()
+
+# MinHash LSH candidates verified by exact shingle Jaccard — the
+# production two-stage near-dup pipeline in one query.
+ORACLES["q_minhash_verified"] = f"""
+WITH cand AS ({_minhash_sql()}),
+toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct({_shingle3()}) AS s FROM toks WHERE len(w) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+scored AS (
+  SELECT inter.id_a, inter.id_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN cand ON cand.id_a = inter.id_a AND cand.id_b = inter.id_b
+  JOIN sizes sa ON sa.doc_id = inter.id_a
+  JOIN sizes sb ON sb.doc_id = inter.id_b)
+SELECT * FROM scored WHERE jaccard >= 0.5
+"""
+
+ORACLES["q_catalog_scan"] = """
+SELECT 'region' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM region
+UNION ALL SELECT 'nation', COUNT(*) FROM nation
+UNION ALL SELECT 'customer', COUNT(*) FROM customer
+UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+UNION ALL SELECT 'part', COUNT(*) FROM part
+UNION ALL SELECT 'orders', COUNT(*) FROM orders
+UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+UNION ALL SELECT 'events', COUNT(*) FROM events
+UNION ALL SELECT 'documents', COUNT(*) FROM documents
+UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+"""
 
 ORACLES["q_embedding_neardup"] = f"""
 SELECT * FROM (
