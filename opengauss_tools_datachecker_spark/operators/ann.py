@@ -1,22 +1,57 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k is the exactness baseline; sign-LSH bucketing
-is the scale path (candidate set shrinks by ~2^n_planes). All vector
-math uses built-in higher-order functions (zip_with / aggregate —
-JVM-side, codegen'd); no UDF.
+and IVF cells are the scale paths (candidate sets shrink ~2^n_planes /
+~n_centroids-fold).
 
-Scale design: brute force is a broadcast nested-loop — O(N·Q) dots; fine
-for N up to ~10^6 rows broadcast against any query count. Beyond that,
-LSH buckets (or an IVF coarse quantizer — same shape: assign, then
-join on cell) bound each join group; skewed buckets are AQE-split.
+Vector-math engine choice, measured at 2000×2000 pairs (64-dim):
+higher-order-function dots (aggregate ∘ zip_with) evaluate the lambda
+INTERPRETED per element — ~16 s; a 64-term unrolled expression tree
+blows codegen limits — ~47 s; an Arrow-batched numpy kernel doing the
+same math — <1 s. So the all-pairs operators broadcast the corpus
+matrix and run a mapInPandas kernel whose summation REPLAYS the SQL
+engines' left-fold order term by term (``_fold_gram``) — results are
+bit-identical to the Catalyst fold, so DuckDB oracle parity is
+unaffected. Per-candidate dots in the LSH/IVF joins stay as HOFs: the
+pruned pair counts make them cheap, and they keep those paths
+UDF-free. Final rounding/ranking happens in Spark (F.round +
+row_number), never in numpy, so rounding semantics are the engine's.
+
+Scale design: brute force is O(N·Q) dots against a broadcast corpus —
+fine to ~10^6 corpus rows and any query count (queries stream through
+Arrow batches; nothing but the corpus is held in memory). Beyond
+that, LSH buckets or IVF cells bound each join group; skewed buckets
+are AQE-split.
 """
 
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _fold_gram(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """All-pairs dot products accumulated in index order, float64 —
+    bit-identical to aggregate(zip_with(a,b,*), 0.0, +) in Spark and the
+    sequential list_dot_product fold (term k is added at step k for
+    every pair; IEEE754 makes the replay exact)."""
+    acc = np.zeros((Q.shape[0], C.shape[0]))
+    for k in range(Q.shape[1]):
+        acc += np.multiply.outer(Q[:, k], C[:, k])
+    return acc
+
+
+def _fold_norms(M: np.ndarray) -> np.ndarray:
+    """sqrt of the index-order fold of squares — matches _norm()."""
+    acc = np.zeros(M.shape[0])
+    for k in range(M.shape[1]):
+        acc += M[:, k] * M[:, k]
+    return np.sqrt(acc)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -41,39 +76,60 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _broadcast_corpus(df: DataFrame, id_col: str, vec_col: str):
+    """Collect (ids, matrix, norms) and broadcast to every executor."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    return df.sparkSession.sparkContext.broadcast((ids, mat, _fold_norms(mat)))
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 5,
     queries: DataFrame | None = None,
+    selection_margin: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k neighbors: (query_id, neighbor_id, cos_sim, rank).
 
-    Self-join when ``queries`` is None. The corpus side is broadcast when
-    Catalyst's stats allow; ties broken by neighbor id (deterministic).
+    Self-search when ``queries`` is None; ties broken by neighbor id.
+    The kernel pre-selects top (k + margin) per query by raw score;
+    Spark then applies the authoritative F.round + row_number ranking —
+    the margin covers rounded-score ties straddling the raw cutoff.
     """
     from pyspark.sql.window import Window
 
-    # norms precomputed per vector (N values), not per pair (N×Q values)
-    corpus = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        _norm(F.col(vec_col)).alias("_cn"),
+    bc = _broadcast_corpus(df, id_col, vec_col)
+    id_type = df.schema[id_col].dataType.simpleString()
+    take = k + selection_margin
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["_qv"].tolist(), dtype=np.float64)
+            sims = _fold_gram(Q, mat) / np.outer(_fold_norms(Q), norms)
+            out_q, out_n, out_s = [], [], []
+            for i, qid in enumerate(pdf["_qid"].to_numpy()):
+                row = sims[i]
+                cand = np.flatnonzero(ids != qid)
+                if len(cand) > take:
+                    cand = cand[np.argpartition(-row[cand], take)[:take]]
+                out_q.extend([qid] * len(cand))
+                out_n.extend(ids[cand])
+                out_s.extend(row[cand])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "_raw": out_s})
+
+    q = (queries if queries is not None else df).select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
     )
-    q = (queries or df).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        _norm(F.col(vec_col)).alias("_qn"),
+    raw = q.mapInPandas(
+        kernel, schema=f"query_id {id_type}, neighbor_id {id_type}, _raw double"
     )
-    pairs = q.crossJoin(corpus).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
-        ).alias("cos_sim"),
-    )
+    scored = raw.select("query_id", "neighbor_id", F.round("_raw", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -242,16 +298,36 @@ def exact_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs, EXACT all-pairs baseline.
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b and rounded cosine
-    ≥ threshold. O(N²) dots — the correctness oracle for
-    :func:`near_dup_embeddings`, which prunes the pair space with
-    sign-LSH buckets at scale.
+    ≥ threshold. O(N²) dots against the broadcast corpus — the
+    correctness oracle for :func:`near_dup_embeddings`, which prunes
+    the pair space with sign-LSH buckets at scale. The kernel filters
+    with an epsilon slack on the raw score; Spark's F.round + filter is
+    authoritative.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    bc = _broadcast_corpus(df, id_col, vec_col)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["_qv"].tolist(), dtype=np.float64)
+            sims = _fold_gram(Q, mat) / np.outer(_fold_norms(Q), norms)
+            out_a, out_b, out_s = [], [], []
+            for i, qid in enumerate(pdf["_qid"].to_numpy()):
+                row = sims[i]
+                keep = np.flatnonzero((ids > qid) & (row >= threshold - 1e-9))
+                out_a.extend([qid] * len(keep))
+                out_b.extend(ids[keep])
+                out_s.extend(row[keep])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "_raw": out_s})
+
+    q = df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    raw = q.mapInPandas(kernel, schema=f"id_a {id_type}, id_b {id_type}, _raw double")
+    return raw.select("id_a", "id_b", F.round("_raw", 6).alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
 
 
 def near_dup_embeddings(
