@@ -84,6 +84,24 @@ def canon_column(col: Column | str, dtype: T.DataType) -> Column:
     return c.cast("string")
 
 
+def reencode(col: Column | str, src_charset: str, dst_charset: str) -> Column:
+    """Charset round-trip for CHAR-family comparisons (P5).
+
+    The reference re-encodes strings between the source and target
+    database encodings before comparing (/root/reference
+    src/main/java/com/gauss/common/utils/GaussUtils.java:136-172),
+    silently REPLACE-ing unmappable characters; the Spark form is
+    decode(encode(col, src), dst) — a no-op when both sides are UTF-8
+    (the normal deployment). Spark 4 decodes strictly: unmappable bytes
+    raise MALFORMED_CHARACTER_CODING, which a validation engine treats
+    as a finding, not something to paper over (set
+    spark.sql.legacy.codingErrorAction=true for the reference's
+    replacement behavior).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.decode(F.encode(c, src_charset), dst_charset)
+
+
 def checksum_column(
     fields: list[T.StructField],
     algo: str = "sha256",

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -78,3 +80,16 @@ def test_checksum_deterministic_across_repartition(spark):
     a = sorted(r["checksum"] for r in df.select(row_checksum(df)).collect())
     b = sorted(r["checksum"] for r in df.repartition(7).select(row_checksum(df)).collect())
     assert a == b
+
+
+def test_reencode_roundtrip_and_lossy(spark):
+    from opengauss_tools_datachecker_spark.functions.canon import reencode
+
+    df = spark.createDataFrame([("héllo wörld",), ("plain",)], "s string")
+    # UTF-8 -> UTF-8 is the identity (the normal deployment)
+    same = df.select(reencode("s", "UTF-8", "UTF-8").alias("r")).collect()
+    assert [r.r for r in same] == ["héllo wörld", "plain"]
+    # Spark 4 decodes strictly: unmappable bytes are a data FINDING
+    # (MALFORMED_CHARACTER_CODING), unlike the reference's silent REPLACE
+    with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        df.select(reencode("s", "UTF-8", "US-ASCII").alias("r")).collect()
