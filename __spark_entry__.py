@@ -326,6 +326,13 @@ def q_embedding_neardup(spark, sf_dir):
     return ann.exact_near_dup_pairs(e, "vec_id", "embedding", threshold=0.3)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-pruned embedding near-dup — the scale path; deterministic
+    planes make the pruning itself oracle-reproducible."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.near_dup_embeddings(e, "vec_id", "embedding", threshold=0.3, n_planes=6)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Rows-only check: mapInPandas decode kernel (stubbed codecs)."""
     d = _t(spark, sf_dir, "documents")
@@ -390,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_multimodal_features": q_multimodal_features,
     }
 

@@ -58,6 +58,7 @@ HEADLINE = [
     "q_ann_lsh",
     "q_ann_ivf",
     "q_embedding_neardup",
+    "q_embedding_neardup_lsh",
     "q_multimodal_features",
 ]
 

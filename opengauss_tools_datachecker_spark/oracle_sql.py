@@ -411,3 +411,27 @@ SELECT * FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 WHERE cos_sim >= 0.3
 """
+
+
+def _embedding_neardup_lsh_sql(n_planes: int = 6, dim: int = 64, threshold: float = 0.3) -> str:
+    """Mirror of ann.near_dup_embeddings: single sign-LSH table (seed
+    'lsh') prunes the pair space; identical planes -> identical pruning."""
+    planes = hyperplanes(dim, n_planes, seed="lsh")
+    signs = []
+    for row in planes:
+        lit = "[" + ", ".join(f"{w:.1f}" for w in row) + "]"
+        signs.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({lit} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(signs)
+    return f"""
+WITH bkt AS (SELECT vec_id, embedding, {bucket} AS b FROM embeddings)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cos_sim
+  FROM bkt a JOIN bkt b ON a.b = b.b AND a.vec_id < b.vec_id)
+WHERE cos_sim >= {threshold}
+"""
+
+
+ORACLES["q_embedding_neardup_lsh"] = _embedding_neardup_lsh_sql()

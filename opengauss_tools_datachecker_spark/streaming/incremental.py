@@ -63,6 +63,51 @@ def incremental_sha256_check(
     )
 
 
+def running_repo_progress(
+    stream: DataFrame,
+    manifest: DataFrame,
+):
+    """Custom stateful operator: per-repo cumulative validation progress.
+
+    The streaming analog of the reference's ProgressTracer/StatAggregation
+    counters (/root/reference src/main/java/com/gauss/common/stats/
+    ProgressTracer.java:52-94, StatAggregation.java:45-126) — but exact
+    and distributed: each micro-batch's rows are verified against the
+    static manifest (broadcast stream-static join), then
+    ``applyInPandasWithState`` folds (rows_seen, mismatches) into
+    per-repo state that survives across batches. Output mode "update":
+    one row per repo per batch with the running totals.
+
+    State is bounded by #repos (keys), not rows — safe indefinitely.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    observed = stream.select(
+        "repo", *[c for c in KEY_COLS if c != "repo"], F.sha2("content", 256).alias("observed")
+    )
+    flagged = observed.join(F.broadcast(manifest), KEY_COLS, "left").select(
+        "repo",
+        (~F.col("observed").eqNullSafe(F.col("expected_sha256"))).cast("long").alias("bad"),
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        n, bad = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            bad += int(pdf["bad"].sum())
+        state.update((n, bad))
+        yield pd.DataFrame({"repo": [key[0]], "n_rows": [n], "n_bad": [bad]})
+
+    return flagged.groupBy("repo").applyInPandasWithState(
+        fold,
+        outputStructType="repo string, n_rows long, n_bad long",
+        stateStructType="n long, bad long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_rates(
     events_stream: DataFrame,
     window: str = "5 minutes",

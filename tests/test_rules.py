@@ -126,3 +126,18 @@ def test_permutation_invariance(spark, small_files, base):
     v1 = _keys(ContentSha256Rule().check(_ctx(spark, corrupted, base)))
     v2 = _keys(ContentSha256Rule().check(_ctx(spark, corrupted.repartition(13), base)))
     assert v1 == v2
+
+
+def test_hot_key_skew_uniqueness(spark, small_files, base):
+    """A single key duplicated 10k times (the degenerate skew case the
+    salted two-phase count exists for) is counted exactly, and no other
+    key is flagged."""
+    from pyspark.sql import functions as F
+
+    one = small_files.limit(1)
+    hot = one.crossJoin(spark.range(10_000).select(F.lit(1).alias("_x"))).drop("_x")
+    files = small_files.unionByName(hot)
+    ctx = CheckContext(spark=spark, files=files, manifest=base["manifest"], n_buckets=8)
+    v = UniquenessRule().check(ctx).collect()
+    key = "|".join([one.first().repo, one.first().path, one.first().commit])
+    assert len(v) == 1 and v[0].key == key and v[0].observed == "10001"

@@ -50,3 +50,54 @@ def test_windowed_event_rates(spark, tmp_path):
     q.stop()
     got = spark.sql("select sum(n) as total from rates").collect()[0]["total"]
     assert got == events.count()
+
+
+def test_running_repo_progress_stateful(spark, small_files, tmp_path):
+    """applyInPandasWithState totals accumulate across micro-batches."""
+    from opengauss_tools_datachecker_spark.streaming.incremental import (
+        FILES_STREAM_SCHEMA,
+        running_repo_progress,
+    )
+
+    inp = str(tmp_path / "incoming")
+    manifest = fx.manifest(small_files)
+    corrupted, expected = fx.flip_bytes(small_files, 0.02)
+    corrupted.write.parquet(inp)
+
+    stream = spark.readStream.schema(FILES_STREAM_SCHEMA).parquet(inp)
+    progress = running_repo_progress(stream, manifest)
+    q = (
+        progress.writeStream.format("memory")
+        .queryName("repo_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+
+    # latest state per repo after batch 1: totals match the static truth
+    latest = {
+        r.repo: (r.n_rows, r.n_bad)
+        for r in spark.sql("select * from repo_progress").collect()
+    }
+    truth = {
+        r.repo: r.n
+        for r in corrupted.groupBy("repo").agg(F.count("*").alias("n")).collect()
+    }
+    bad_truth = {
+        r.repo: r.n
+        for r in expected.groupBy("repo").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: v[0] for k, v in latest.items()} == truth
+    assert {k: v[1] for k, v in latest.items() if v[1]} == bad_truth
+
+    # batch 2: append the same rows -> per-repo totals double (state kept)
+    corrupted.write.mode("append").parquet(inp)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from repo_progress").collect()
+    latest2 = {}
+    for r in rows:  # memory sink in update mode appends; last write wins
+        if r.n_rows >= latest2.get(r.repo, (0, 0))[0]:
+            latest2[r.repo] = (r.n_rows, r.n_bad)
+    assert {k: v[0] for k, v in latest2.items()} == {k: 2 * v for k, v in truth.items()}
