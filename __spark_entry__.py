@@ -265,7 +265,7 @@ def q_quality(spark, sf_dir):
 
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.doc_fingerprint(tx.tokens("text"), n=5, keep=3).alias("fp"))
+    return dedup.fingerprints(d, "doc_id", "text", n=5, keep=3)
 
 
 def q_minhash_verified(spark, sf_dir):

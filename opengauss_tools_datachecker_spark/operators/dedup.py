@@ -22,6 +22,11 @@ Scale design (10^9+ documents):
 
 from __future__ import annotations
 
+import hashlib
+import re
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +36,37 @@ from opengauss_tools_datachecker_spark.functions.text import (
     simhash16,
     tokens,
 )
+
+# ---------------------------------------------------------------------------
+# Arrow-batched kernels for the hash-per-shingle hot paths.
+#
+# The Catalyst higher-order-function forms in functions/text.py are the
+# SQL-portable SPEC (each has a DuckDB oracle twin); but Spark evaluates
+# HOF lambdas INTERPRETED per element — md5-per-shingle pipelines spend
+# ~10µs/element on interpretation (measured: 5000 docs × 52 shingles × 8
+# hashes = 20.8s). The kernels below produce BYTE-IDENTICAL strings
+# (md5 hex — no floating point anywhere) via mapInPandas, so oracle
+# parity is untouched while the hashing runs at C speed.
+#
+# Tokenization mirror: F.split(F.trim(c), r"\s+") — Spark trim strips
+# ASCII SPACE only, and Java's \s is exactly [ \t\n\x0B\f\r].
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _py_tokens(text: str | None) -> list[str]:
+    return _JAVA_WS.split((text or "").strip(" "))
+
+
+def _py_shingles(toks: list[str], n: int) -> list[str]:
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -46,17 +82,35 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature columns mh0..mh{n-1} (shuffle-free).
+    """Per-doc MinHash signature columns mh0..mh{n-1} (map-only kernel).
 
-    The shingle array is materialized in its own projection so the
-    n_hashes min-scans share it — inlining it into each hash expression
-    makes Catalyst recompute the concat_ws per hash (measured 6x slower).
+    Same strings as the Catalyst spec ``functions.text.minhash_signature``
+    (md5-as-permutation, min over hex digests); docs too short to shingle
+    get NULL signatures, matching array_min over an empty array.
     """
-    with_sh = df.select(
-        F.col(id_col), shingles(tokens(F.col(text_col)), shingle_n).alias("_sh")
-    )
-    sig = minhash_signature(F.col("_sh"), n_hashes)
-    return with_sh.select(F.col(id_col), *[c.alias(f"mh{j}") for j, c in enumerate(sig)])
+    id_type = df.schema[id_col].dataType.simpleString()
+    prefixes = [f"mh{j}_" for j in range(n_hashes)]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {id_col: list(pdf["_id"])}
+            cols: list[list] = [[] for _ in range(n_hashes)]
+            for text in pdf["_text"]:
+                sh = _py_shingles(_py_tokens(text), shingle_n)
+                if not sh:
+                    for c in cols:
+                        c.append(None)
+                    continue
+                for j, pre in enumerate(prefixes):
+                    cols[j].append(min(_md5(pre + s) for s in sh))
+            for j in range(n_hashes):
+                out[f"mh{j}"] = cols[j]
+            yield pd.DataFrame(out)
+
+    mh_schema = ", ".join(f"mh{j} string" for j in range(n_hashes))
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(kernel, schema=f"{id_col} {id_type}, {mh_schema}")
 
 
 def lsh_candidate_pairs(
@@ -126,9 +180,33 @@ def minhash_dedup(
     return lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
 
 
+_HEX_HIGH = set("89abcdef")
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash int) — 16-bit portable SimHash."""
-    return df.select(F.col(id_col), simhash16(tokens(F.col(text_col))).alias("simhash"))
+    """(id, simhash int) — 16-bit portable SimHash (map-only kernel).
+
+    Identical to the Catalyst spec ``functions.text.simhash16`` (bit k
+    from md5 nibble k's high bit, per-doc majority vote) but each token
+    is hashed ONCE for all 16 bits instead of once per bit.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vals = list(pdf["_id"]), []
+            for text in pdf["_text"]:
+                votes = [0] * 16
+                for t in _py_tokens(text):
+                    digest = _md5(t)
+                    for k in range(16):
+                        votes[k] += 1 if digest[k] in _HEX_HIGH else -1
+                vals.append(sum(1 << k for k in range(16) if votes[k] > 0))
+            yield pd.DataFrame({id_col: ids, "simhash": vals})
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(kernel, schema=f"{id_col} {id_type}, simhash int")
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2) -> DataFrame:
@@ -152,6 +230,51 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: in
     )
 
 
+def distinct_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sh) — one row per distinct shingle per doc (map-only
+    kernel; same strings as explode(array_distinct(shingles(...))),
+    first-occurrence order)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                for s in dict.fromkeys(_py_shingles(_py_tokens(text), shingle_n)):
+                    ids.append(doc_id)
+                    shs.append(s)
+            yield pd.DataFrame({"doc_id": ids, "sh": shs})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(kernel, schema=f"doc_id {id_type}, sh string")
+
+
+def fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, keep: int = 3
+) -> DataFrame:
+    """(id, fp) — winnowing-style doc fingerprint (map-only kernel).
+
+    Same strings as ``functions.text.doc_fingerprint``: the `keep`
+    smallest md5 digests of word n-gram shingles, concatenated.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = list(pdf["_id"]), []
+            for text in pdf["_text"]:
+                hashes = sorted(_md5(s) for s in _py_shingles(_py_tokens(text), n))
+                fps.append("".join(hashes[:keep]))
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(kernel, schema=f"{id_col} {id_type}, fp string")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -165,10 +288,7 @@ def ngram_jaccard_pairs(
     With ``candidates`` (e.g. LSH output) the self-join is replaced by a
     semi-joined verification — the production path.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n))).alias("sh"),
-    )
+    sh = distinct_shingle_rows(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")
