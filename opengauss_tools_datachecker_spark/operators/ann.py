@@ -54,6 +54,33 @@ def _fold_norms(M: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
+def _score_candidate_pairs(pairs: DataFrame, bc, id_type: str) -> DataFrame:
+    """Score (query_id, neighbor_id) candidate pairs by cosine against
+    the broadcast corpus — elementwise fold per pair, same index order
+    as the HOF spec, raw doubles out (rounding stays in Spark)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norms = bc.value
+        index = {v: i for i, v in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.fromiter((index[v] for v in pdf["query_id"]), dtype=np.int64, count=len(pdf))
+            ib = np.fromiter((index[v] for v in pdf["neighbor_id"]), dtype=np.int64, count=len(pdf))
+            A, B = mat[ia], mat[ib]
+            acc = np.zeros(len(pdf))
+            for k in range(mat.shape[1]):
+                acc += A[:, k] * B[:, k]
+            raw = acc / (norms[ia] * norms[ib])
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"], "_raw": raw}
+            )
+
+    return pairs.mapInPandas(
+        kernel, schema=f"query_id {id_type}, neighbor_id {id_type}, _raw double"
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -183,28 +210,18 @@ def lsh_topk(
     ]
     bucketed = df.select(
         F.col(id_col),
-        vec.alias("_v"),
-        _norm(vec).alias("_n"),
         F.explode(F.array(*bucket_cols)).alias("_b"),
     )
-    a = bucketed.select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn"), "_b"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn"), "_b"
-    )
+    a = bucketed.select(F.col(id_col).alias("query_id"), "_b")
+    b = bucketed.select(F.col(id_col).alias("neighbor_id"), "_b")
     pairs = (
         a.join(b, "_b")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
-        ).alias("cos_sim"),
-    )
+    bc = _broadcast_corpus(df, id_col, vec_col)
+    raw = _score_candidate_pairs(pairs, bc, df.schema[id_col].dataType.simpleString())
+    scored = raw.select("query_id", "neighbor_id", F.round("_raw", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -268,26 +285,13 @@ def ivf_topk(
         dim = len(df.select(vec_col).first()[0])
     cents = ivf_centroids(dim, n_centroids, seed)
     vec = F.col(vec_col)
-    assigned = df.select(
-        F.col(id_col),
-        vec.alias("_v"),
-        _norm(vec).alias("_n"),
-        ivf_assign(vec, cents).alias("_cell"),
-    )
-    a = assigned.select(
-        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), F.col("_n").alias("_qn"), "_cell"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_cv"), F.col("_n").alias("_cn"), "_cell"
-    )
+    assigned = df.select(F.col(id_col), ivf_assign(vec, cents).alias("_cell"))
+    a = assigned.select(F.col(id_col).alias("query_id"), "_cell")
+    b = assigned.select(F.col(id_col).alias("neighbor_id"), "_cell")
     pairs = a.join(b, "_cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
-        ).alias("cos_sim"),
-    )
+    bc = _broadcast_corpus(df, id_col, vec_col)
+    raw = _score_candidate_pairs(pairs, bc, df.schema[id_col].dataType.simpleString())
+    scored = raw.select("query_id", "neighbor_id", F.round("_raw", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -336,12 +340,14 @@ def near_dup_embeddings(
     """Embedding-cosine near-duplicate pairs above threshold (LSH-bucketed)."""
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
-    bucketed = df.select(
-        F.col(id_col), F.col(vec_col).alias("_v"), lsh_bucket(F.col(vec_col), planes).alias("_b")
-    )
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_b")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_b")
-    pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
+    bucketed = df.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("_b"))
+    a = bucketed.select(F.col(id_col).alias("query_id"), "_b")
+    b = bucketed.select(F.col(id_col).alias("neighbor_id"), "_b")
+    pairs = a.join(b, "_b").filter(F.col("query_id") < F.col("neighbor_id"))
+    bc = _broadcast_corpus(df, id_col, vec_col)
+    raw = _score_candidate_pairs(pairs, bc, df.schema[id_col].dataType.simpleString())
+    return raw.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.round("_raw", 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)

@@ -50,6 +50,41 @@ class RunResult:
             df.unpersist()
 
 
+def check_tables(
+    ctxs: dict[str, CheckContext],
+    whitelist: list[str] | None = None,
+    blacklist: list[str] | None = None,
+    control_dir: str | None = None,
+    snapshot_id: str = "snap0",
+    max_concurrent: int = 5,
+    rules=None,
+) -> dict[str, RunResult]:
+    """Validate many tables — the GaussController loop (/root/reference
+    src/main/java/com/gauss/controller/GaussController.java:327-397:
+    catalog scan → LIKE white/black filter → per-table pipelines bounded
+    by a semaphore, TableController.java:29-50).
+
+    Tables are selected with the same LIKE-wildcard semantics, then
+    their suites run as concurrent Spark job groups bounded by
+    ``max_concurrent`` (the ``gauss.table.concurrent.size=5`` analog,
+    gauss.properties:22). Each table checkpoints to its own control
+    subdirectory, so a killed multi-table run resumes per (table,
+    bucket, rule).
+    """
+    from opengauss_tools_datachecker_spark.sources.catalog import filter_tables
+
+    selected = filter_tables(sorted(ctxs), whitelist, blacklist)
+
+    def one(name: str) -> tuple[str, RunResult]:
+        control = ControlTable(f"{control_dir}/{name}") if control_dir else None
+        return name, run_suite(
+            ctxs[name], rules=rules, control=control, snapshot_id=snapshot_id
+        )
+
+    with ThreadPoolExecutor(max_workers=max(1, max_concurrent)) as pool:
+        return dict(pool.map(one, selected))
+
+
 def run_suite(
     ctx: CheckContext,
     rules=None,

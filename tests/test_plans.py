@@ -101,3 +101,44 @@ def test_drift_pandas_runs_on_histograms_not_rows(spark, small_files):
     assert "FlatMapGroupsInPandas" in plan
     pandas_idx = plan.index("FlatMapGroupsInPandas")
     assert "HashAggregate" in plan[pandas_idx:]
+
+
+def test_check_tables_multi_table_controller(spark, tmp_path):
+    """GaussController analog: LIKE filtering, concurrent per-table
+    suites, per-table verdicts + resumable control dirs."""
+    from opengauss_tools_datachecker_spark import fixtures as fx
+    from opengauss_tools_datachecker_spark.plans.rule import CheckContext
+    from opengauss_tools_datachecker_spark.plans.runner import check_tables
+
+    def ctx_for(seed, corrupt):
+        clean = fx.repo_files(spark, 800, n_repos=10, seed=seed, n_buckets=4)
+        files = clean
+        if corrupt:
+            files, _ = fx.flip_bytes(clean, 0.01, seed=seed)
+        return CheckContext(
+            spark=spark, files=files, manifest=fx.manifest(clean),
+            baseline=clean, n_buckets=4,
+        )
+
+    ctxs = {
+        "orders_a": ctx_for(1, corrupt=False),
+        "orders_b": ctx_for(2, corrupt=True),
+        "tmp_scratch": ctx_for(3, corrupt=True),
+    }
+    results = check_tables(
+        ctxs,
+        whitelist=["orders%"],
+        blacklist=["%scratch"],
+        control_dir=str(tmp_path / "ctl"),
+        max_concurrent=2,
+    )
+    assert set(results) == {"orders_a", "orders_b"}
+    assert not results["orders_a"].failed
+    assert results["orders_b"].failed
+    # resume: a second run recomputes nothing (all pairs checkpointed)
+    results2 = check_tables(
+        ctxs, whitelist=["orders%"], blacklist=["%scratch"],
+        control_dir=str(tmp_path / "ctl"), max_concurrent=2,
+    )
+    assert all(not r.verdicts for r in results2.values())
+    assert all(len(r.skipped) > 0 for r in results2.values())
