@@ -42,6 +42,11 @@ class CheckContext:
     #   100 TB the baseline is NEVER rescanned per run — its tiny
     #   (bucket, lang, len-bin, n) cube is computed once when the
     #   baseline is blessed and checkpointed next to the control table.
+    expected_schema: object | None = None  # StructType or DDL string the
+    #   input table must match (schema rule); None disables the rule.
+    raw_schema: object | None = None       # schema of the ORIGINAL input,
+    #   recorded by the runner before the narrow shared projection —
+    #   the schema rule validates this, not the projection's.
     n_buckets: int = 32
     run_id: str = "run0"
     params: dict = field(default_factory=dict)
@@ -73,7 +78,9 @@ def prepare_files(files: DataFrame, n_buckets: int, with_digest: bool = True) ->
         "repo",
         "path",
         "commit",
-        "lang",
+        # lang is optional input (its absence is a schema-rule finding,
+        # not a crash during plan construction)
+        *(["lang"] if "lang" in files.columns else []),
         "bucket",
         # 64-bit key hash computed once in the same scan: uniqueness
         # groups on it, the Merkle sub-bucket split derives from it —

@@ -140,6 +140,56 @@ class ContentSha256Rule:
         )
 
 
+class SchemaRule:
+    """N0: the input table's schema must match the expected contract.
+
+    The reference introspects schemas from JDBC metadata and trusts
+    them (/root/reference src/main/java/com/gauss/common/db/meta/
+    TableMetaGenerator.java:148-181 — a column added or retyped between
+    source and target silently changes what gets checksummed). Here the
+    contract is explicit: missing columns, unexpected columns, and type
+    mismatches are violations. Table-granular (``granularity =
+    'table'``): schema is catalog metadata, one verdict row at bucket 0,
+    no data scanned at all.
+    """
+
+    rule_id = "schema"
+    version = "1"
+    granularity = "table"
+
+    @staticmethod
+    def applicable(ctx: CheckContext) -> bool:
+        return ctx.expected_schema is not None
+
+    def check(self, ctx: CheckContext) -> DataFrame:
+        from pyspark.sql import types as T
+
+        expected = ctx.expected_schema
+        if expected is None:  # no contract -> nothing to check
+            from opengauss_tools_datachecker_spark.plans.rule import empty_violations
+
+            return empty_violations(ctx.spark)
+        if isinstance(expected, str):
+            expected = T._parse_datatype_string(expected)
+        actual = ctx.raw_schema if ctx.raw_schema is not None else ctx.files.schema
+        exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+        act = {f.name: f.dataType.simpleString() for f in actual.fields}
+        rows = []
+        for name, typ in exp.items():
+            if name not in act:
+                rows.append((self.rule_id, 0, name, None, typ))
+            elif act[name] != typ:
+                rows.append((self.rule_id, 0, name, act[name], typ))
+        for name, typ in act.items():
+            if name not in exp:
+                rows.append((self.rule_id, 0, name, typ, None))
+        from opengauss_tools_datachecker_spark.plans.rule import VIOLATION_COLS
+
+        return ctx.spark.createDataFrame(
+            rows, "rule_id string, bucket int, key string, observed string, expected string"
+        ).select(*VIOLATION_COLS)
+
+
 class UniquenessRule:
     """N2: (repo,path,commit) must be unique — salted two-phase count."""
 
@@ -269,4 +319,11 @@ class DriftRule:
         return to_violations(chi2, "lang_chi2").unionByName(to_violations(ks, "len_ks"))
 
 
-ALL_RULES = [ContentSha256Rule(), UniquenessRule(), ReferentialRule(), ColumnStatsRule(), DriftRule()]
+ALL_RULES = [
+    SchemaRule(),
+    ContentSha256Rule(),
+    UniquenessRule(),
+    ReferentialRule(),
+    ColumnStatsRule(),
+    DriftRule(),
+]

@@ -93,20 +93,50 @@ def run_suite(
     resume: bool = True,
 ) -> RunResult:
     rules = rules if rules is not None else ALL_RULES
+    # a rule may declare itself inapplicable to this context (e.g. the
+    # schema rule without an expected schema) — skipped entirely, no
+    # misleading PASS verdict
+    rules = [r for r in rules if getattr(r, "applicable", lambda _: True)(ctx)]
     rule_versions = {r.rule_id: r.version for r in rules}
     all_buckets = set(range(ctx.n_buckets))
+
+    def buckets_of(rule) -> set[int]:
+        # table-granular rules (schema) verdict once, at bucket 0
+        return {0} if getattr(rule, "granularity", "bucket") == "table" else all_buckets
+
+    # An input missing the key/content columns can't run any data rule —
+    # that IS the schema rule's finding, not a planner crash. Degrade to
+    # the table-granular rules when a schema contract is present;
+    # otherwise fail with a actionable message.
+    required = {"repo", "path", "commit", "content"}
+    missing = sorted(required - set(ctx.files.columns))
+    if missing:
+        table_rules = [r for r in rules if getattr(r, "granularity", "bucket") == "table"]
+        if not table_rules:
+            raise ValueError(
+                f"input table lacks required columns {missing}; provide the "
+                "(repo, path, commit, ..., content) shape or pass an "
+                "expected_schema so the schema rule can report the mismatch"
+            )
+        rules = table_rules
+        rule_versions = {r.rule_id: r.version for r in rules}
 
     done: set[tuple[int, str]] = set()
     if control is not None and resume:
         done = control.completed_pairs(ctx.spark, snapshot_id, rule_versions)
 
     per_rule_pending: dict[str, set[int]] = {
-        r.rule_id: {b for b in all_buckets if (b, r.rule_id) not in done} for r in rules
+        r.rule_id: {b for b in buckets_of(r) if (b, r.rule_id) not in done} for r in rules
     }
 
     # Narrow shared projection: content scanned once (digest + length in
-    # one pass), cached fixed-width columns feed every rule.
-    files = prepare_files(ctx.files, ctx.n_buckets).persist()
+    # one pass), cached fixed-width columns feed every rule. With only
+    # table-granular rules active (schema-only degraded mode) the raw
+    # frame passes through un-prepared and un-scanned.
+    if missing:
+        files = ctx.files
+    else:
+        files = prepare_files(ctx.files, ctx.n_buckets).persist()
     # When the baseline's histogram cube is precomputed (the production
     # path), the baseline table itself is never scanned here.
     baseline = (
@@ -135,7 +165,7 @@ def run_suite(
     merkle_warms = any(
         r.rule_id == "sha256" and per_rule_pending[r.rule_id] for r in rules
     ) and ctx.params.get("merkle", True) and ctx.manifest is not None
-    if not merkle_warms:
+    if not merkle_warms and not missing:
         to_warm = files.select(F.lit(1).alias("one"))
         if manifest is not None:
             to_warm = to_warm.unionAll(manifest.select(F.lit(1).alias("one")))
@@ -156,7 +186,7 @@ def run_suite(
         active_rules.append(rule)
         rule_files, rule_manifest, rule_baseline = files, manifest, baseline
         rule_baseline_cube = ctx.baseline_cube
-        if pending != all_buckets:
+        if pending != buckets_of(rule):
             # bucket filter → partition pruning on a bucket-partitioned
             # layout. Manifest and baseline must be pruned in lockstep or
             # the full-outer joins report skipped buckets as missing.
@@ -174,6 +204,8 @@ def run_suite(
             commits=commits,  # parent side stays global (validity set)
             baseline=rule_baseline,
             baseline_cube=rule_baseline_cube,
+            expected_schema=ctx.expected_schema,
+            raw_schema=ctx.files.schema,
             n_buckets=ctx.n_buckets,
             run_id=ctx.run_id,
             params=ctx.params,

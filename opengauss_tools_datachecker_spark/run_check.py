@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
         help="precomputed baseline histogram cube path (operators.drift."
         "histogram_cube output); skips rescanning the baseline table",
     )
+    p.add_argument(
+        "--expected-schema",
+        help="DDL schema contract for the input table, e.g. "
+        "'repo string, path string, commit string, lang string, content string'; "
+        "enables the schema rule",
+    )
     p.add_argument("--control", help="control-table dir for checkpoint/resume")
     p.add_argument("--snapshot", default="snap0", help="input snapshot id (lineage)")
     p.add_argument("--buckets", type=int, default=32)
@@ -86,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             commits=commits,
             baseline=baseline,
             baseline_cube=baseline_cube,
+            expected_schema=args.expected_schema,
             n_buckets=args.buckets,
         )
         control = ControlTable(args.control) if args.control else None

@@ -49,7 +49,9 @@ def test_clean_input_all_pass(spark, small_files, base):
     result = run_suite(_ctx(spark, small_files, base, baseline=small_files))
     assert not result.failed
     assert result.violations.count() == 0
-    assert len(result.verdicts) == 8 * len(ALL_RULES)
+    # schema rule is inapplicable without an expected_schema contract
+    n_data_rules = len(ALL_RULES) - 1
+    assert len(result.verdicts) == 8 * n_data_rules
 
 
 def test_flip_bytes_caught_by_sha256(spark, small_files, base):
@@ -141,3 +143,39 @@ def test_hot_key_skew_uniqueness(spark, small_files, base):
     v = UniquenessRule().check(ctx).collect()
     key = "|".join([one.first().repo, one.first().path, one.first().commit])
     assert len(v) == 1 and v[0].key == key and v[0].observed == "10001"
+
+
+def test_schema_rule_contract(spark, small_files, base):
+    """N0: missing / extra / retyped columns are violations; matching
+    schema passes; verdict is table-granular (bucket 0 only)."""
+    from opengauss_tools_datachecker_spark.plans.rules import SchemaRule
+
+    ddl = ("file_id bigint, repo string, path string, commit string, "
+           "lang string, content string, bucket int")
+    ok_ctx = CheckContext(spark=spark, files=small_files, expected_schema=ddl)
+    assert SchemaRule().check(ok_ctx).count() == 0
+
+    mutated = small_files.drop("lang").withColumn(
+        "extra_col", F.lit(1)
+    ).withColumn("file_id", F.col("file_id").cast("int"))
+    bad_ctx = CheckContext(spark=spark, files=mutated, expected_schema=ddl)
+    v = {r.key: (r.observed, r.expected) for r in SchemaRule().check(bad_ctx).collect()}
+    assert v["lang"] == (None, "string")          # missing
+    assert v["extra_col"] == ("int", None)        # unexpected
+    assert v["file_id"] == ("int", "bigint")      # retyped
+    assert all(r.bucket == 0 for r in SchemaRule().check(bad_ctx).collect())
+
+    # through the runner: applicable only when a contract is given, and
+    # the verdict matrix records it once at bucket 0
+    res = run_suite(
+        CheckContext(spark=spark, files=mutated, manifest=base["manifest"],
+                     baseline=small_files, expected_schema=ddl, n_buckets=8),
+        rules=[SchemaRule()],
+    )
+    assert res.verdicts == [(0, "schema", 3, "FAIL")]
+    res_off = run_suite(
+        CheckContext(spark=spark, files=small_files, manifest=base["manifest"],
+                     baseline=small_files, n_buckets=8),
+        rules=[SchemaRule()],
+    )
+    assert res_off.verdicts == []
