@@ -4,7 +4,9 @@ The reference orchestrates one thread-pool pipeline per table
 (/root/reference src/main/java/com/gauss/controller/GaussController.java:142-159,
 GaussInstance.java:96-199: semaphores, bounded queues, TPS throttling,
 barrier joins). All of that collapses into Spark's scheduler: each rule
-is one lazy DataFrame; one action materializes the union.
+is one lazy DataFrame, materialized as concurrent actions from a
+thread pool (FAIR scheduling) so per-action fixed costs overlap;
+``check_tables`` adds the per-table concurrency loop above that.
 
 Resume semantics: with a control table, only (bucket, rule) pairs not
 yet verdict-ed for the same (snapshot_id, rule_version) are recomputed;
