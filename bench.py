@@ -113,7 +113,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "500000"))
+    # 2M rows keeps the suite measurement compute-dominated (at 500k,
+    # per-stage fixed costs are a visible share of the wall time);
+    # generation is cached to parquet and excluded from timing
+    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "2000000"))
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
