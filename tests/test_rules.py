@@ -179,3 +179,21 @@ def test_schema_rule_contract(spark, small_files, base):
         rules=[SchemaRule()],
     )
     assert res_off.verdicts == []
+
+
+@pytest.mark.parametrize("seed", [7, 101, 9999])
+def test_metamorphic_clean_any_seed(spark, seed):
+    """Metamorphic invariant (SURVEY §5.4): clean data yields zero
+    violations for ANY generator seed, and the sha256 rule flags
+    exactly the injected set after corruption of that same data."""
+    clean = fx.repo_files(spark, 1500, n_repos=12, seed=seed, n_buckets=4).cache()
+    manifest = fx.manifest(clean)
+    assert ContentSha256Rule().check(
+        CheckContext(spark=spark, files=clean, manifest=manifest, n_buckets=4)
+    ).count() == 0
+    corrupted, expected = fx.flip_bytes(clean, 0.01, seed=seed)
+    v = ContentSha256Rule().check(
+        CheckContext(spark=spark, files=corrupted, manifest=manifest, n_buckets=4)
+    )
+    assert _keys(v) == {"|".join([r.repo, r.path, r.commit]) for r in expected.collect()}
+    clean.unpersist()
