@@ -80,6 +80,20 @@ def q_row_checksum(spark, sf_dir):
     )
 
 
+def q_reference_md5(spark, sf_dir):
+    """Reference-exact digest mode: md5(concat_ws('', canon(cols))) with
+    the empty separator and skip-NULL semantics of MysqlUtil.java:71-79
+    — byte-compatible with what datachecker itself would compute."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        row_checksum(
+            o, cols=[c for c, _ in ORDERS_COLS if c != "o_orderkey"],
+            algo="md5", out="md5_digest", reference_compat=True,
+        ),
+    )
+
+
 def _perturbed_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.withColumn(
@@ -370,6 +384,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_row_checksum": q_row_checksum,
+        "q_reference_md5": q_reference_md5,
         "q_checksum_symdiff": q_checksum_symdiff,
         "q_multiset_diff": q_multiset_diff,
         "q_violation_recovery": q_violation_recovery,

@@ -31,6 +31,7 @@ from opengauss_tools_datachecker_spark.session import get_spark
 
 HEADLINE = [
     "q_row_checksum",
+    "q_reference_md5",
     "q_checksum_symdiff",
     "q_multiset_diff",
     "q_violation_recovery",

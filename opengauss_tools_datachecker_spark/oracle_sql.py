@@ -59,6 +59,16 @@ SELECT l_orderkey, l_linenumber, {_checksum(LI_VALUES)} AS checksum
 FROM lineitem
 """
 
+# reference-compat digest: md5(concat_ws('', canon(...))) — empty
+# separator, concat_ws's native skip-NULL (MysqlUtil.java:71-79);
+# no sentinel COALESCE, exactly like the reference's generated SQL
+_REF_PARTS = ", ".join(
+    _canon(c, t) for c, t in OC if c != "o_orderkey"
+)
+ORACLES["q_reference_md5"] = f"""
+SELECT o_orderkey, md5(concat_ws('', {_REF_PARTS})) AS md5_digest FROM orders
+"""
+
 _PERTURBED = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1.0
