@@ -52,6 +52,10 @@ class CheckContext:
     params: dict = field(default_factory=dict)
 
     def files_with_bucket(self) -> DataFrame:
+        # A pre-existing bucket column is trusted and MUST have been
+        # computed with this context's n_buckets — mismatched bucket
+        # spaces silently misattribute verdicts (drop the column to
+        # re-bucket instead).
         if "bucket" in self.files.columns:
             return self.files
         from opengauss_tools_datachecker_spark.fixtures import bucket_of

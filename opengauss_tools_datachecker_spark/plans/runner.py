@@ -181,6 +181,7 @@ def run_suite(
 
     active_rules = []
     rule_frames: list[DataFrame] = []
+    count_frames: list[DataFrame] = []
     for rule in rules:
         pending = per_rule_pending[rule.rule_id]
         if not pending:
@@ -214,7 +215,30 @@ def run_suite(
         )
         # Building the sha256 plan runs its Merkle signature job here
         # (serial, doubles as the cache warm); other rules build lazily.
-        rule_frames.append(rule.check(rule_ctx).persist())
+        frame = rule.check(rule_ctx)
+        # Reported violations can be capped per (bucket, rule) — at
+        # 10^12 rows a pathological corruption (wrong manifest, every
+        # row flagged) must not persist/report billions of rows. Verdict
+        # COUNTS stay exact: they aggregate the uncapped frame (tiny
+        # map-side-combined result, no persist needed). The reference
+        # has the same failure mode unmitigated (it prints every diff
+        # row to check.log, RecordDiffer.java:48-60).
+        cap = ctx.params.get("max_violations_per_pair")
+        if cap:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("bucket").orderBy("key")
+            report = (
+                frame.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= int(cap))
+                .drop("_rn")
+            )
+            count_frames.append(frame)      # exact counts, lazy
+            rule_frames.append(report.persist())
+        else:
+            persisted = frame.persist()
+            count_frames.append(persisted)  # counting warms the cache
+            rule_frames.append(persisted)
 
     # Materialize every rule CONCURRENTLY: per-rule violation counts are
     # independent actions submitted from a thread pool, so Spark's
@@ -226,9 +250,9 @@ def run_suite(
     def _count(v: DataFrame):
         return v.groupBy("bucket", "rule_id").agg(F.count("*").alias("n")).collect()
 
-    if rule_frames:
-        with ThreadPoolExecutor(max_workers=len(rule_frames)) as pool:
-            per_rule_counts = list(pool.map(_count, rule_frames))
+    if count_frames:
+        with ThreadPoolExecutor(max_workers=len(count_frames)) as pool:
+            per_rule_counts = list(pool.map(_count, count_frames))
     else:
         per_rule_counts = []
 

@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", default="parquet")
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--max-violations", type=int, default=None,
+        help="cap REPORTED violation rows per (bucket, rule); verdict "
+        "counts stay exact (guards the report path against a "
+        "pathological everything-flagged run)",
+    )
     args = p.parse_args(argv)
 
     from opengauss_tools_datachecker_spark.plans.checkpoint import ControlTable
@@ -94,6 +100,11 @@ def main(argv: list[str] | None = None) -> int:
             baseline_cube=baseline_cube,
             expected_schema=args.expected_schema,
             n_buckets=args.buckets,
+            params=(
+                {"max_violations_per_pair": args.max_violations}
+                if args.max_violations
+                else {}
+            ),
         )
         control = ControlTable(args.control) if args.control else None
         result = run_suite(

@@ -142,3 +142,29 @@ def test_check_tables_multi_table_controller(spark, tmp_path):
     )
     assert all(not r.verdicts for r in results2.values())
     assert all(len(r.skipped) > 0 for r in results2.values())
+
+
+def test_violation_report_cap_keeps_counts_exact(spark, small_files):
+    """max_violations_per_pair caps the REPORTED rows per (bucket, rule)
+    while the verdict counts stay exact (the 10^12-scale guard against
+    a pathological everything-flagged run)."""
+    from opengauss_tools_datachecker_spark.plans.rules import ContentSha256Rule
+    from opengauss_tools_datachecker_spark.plans.runner import run_suite
+
+    corrupted, expected = fx.flip_bytes(small_files, 0.2)
+    # drop the baked 8-bucket column: this ctx re-buckets at n_buckets=4
+    # (a carried bucket column MUST match ctx.n_buckets — see CheckContext)
+    ctx = CheckContext(
+        spark=spark, files=corrupted.drop("bucket"),
+        manifest=fx.manifest(small_files),
+        n_buckets=4, params={"max_violations_per_pair": 3},
+    )
+    res = run_suite(ctx, rules=[ContentSha256Rule()])
+    n_expected = expected.count()
+    assert sum(n for (_, _, n, _) in res.verdicts) == n_expected
+    per_bucket = {
+        r.bucket: r.n
+        for r in res.violations.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 3 for n in per_bucket.values())
+    assert sum(per_bucket.values()) < n_expected  # genuinely capped
