@@ -94,6 +94,42 @@ def q_reference_md5(spark, sf_dir):
     )
 
 
+_DIALECT_LI_COLS = [
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_shipdate",
+]
+
+
+def q_mysql_md5(spark, sf_dir):
+    """MySQL-dialect digest: md5 over round(convert(col,char),10)-style
+    float rendering (trailing zeros dropped — l_quantity '25', not
+    '25.0000000000') per MysqlUtil.java:25,49-52. Byte-compatible with
+    the digest the reference computes against a live MySQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        row_checksum(
+            li, cols=_DIALECT_LI_COLS, algo="md5", out="md5_digest",
+            reference_compat=True, dialect="mysql",
+        ),
+    )
+
+
+def q_opengauss_md5(spark, sf_dir):
+    """openGauss-dialect digest: md5 over to_char(col,'fm…0000000000')
+    float rendering (10 fractional digits kept, zero integer digit
+    dropped — l_discount '.0400000000') per OpenGaussUtil.java:38,64-68."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        row_checksum(
+            li, cols=_DIALECT_LI_COLS, algo="md5", out="md5_digest",
+            reference_compat=True, dialect="opengauss",
+        ),
+    )
+
+
 def _perturbed_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.withColumn(
@@ -212,7 +248,9 @@ def q_drift_chi2(spark, sf_dir):
 
 
 def q_drift_ks(spark, sf_dir):
-    """N4 (rows-only check: pandas-UDF KS has no concise SQL twin)."""
+    """N4: two-sample KS on the log2-length histogram, bucket vs
+    rest-of-table; the oracle mirrors the D-statistic with windowed
+    cumulative sums over the same histogram."""
     d = _t(spark, sf_dir, "documents").withColumn(
         "bucket", F.substring("source", 4, 10).cast("int")
     )
@@ -247,9 +285,11 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash near-dup pairs: high-byte band join + popcount filter."""
+    """SimHash near-dup pairs: pigeonhole (h+1)-band join + popcount
+    verify — guaranteed recall, so the oracle is the exact unbanded
+    Hamming-ball pair set."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=6)
+    return dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=3)
 
 
 def q_token_stats(spark, sf_dir):
@@ -333,6 +373,13 @@ def q_ann_ivf(spark, sf_dir):
     return ann.ivf_topk(e, "vec_id", "embedding", k=3, n_centroids=8, dim=ANN_DIM)
 
 
+def q_ann_ivf_np2(spark, sf_dir):
+    """IVF with nprobe=2: each query also probes its second-best cell —
+    same join shape, 2x candidates, higher recall."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ann.ivf_topk(e, "vec_id", "embedding", k=3, n_centroids=8, dim=ANN_DIM, nprobe=2)
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs — exact all-pairs baseline
     (ann.near_dup_embeddings is the LSH-pruned scale path)."""
@@ -344,14 +391,23 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     """LSH-pruned embedding near-dup — the scale path; deterministic
     planes make the pruning itself oracle-reproducible."""
     e = _t(spark, sf_dir, "embeddings")
-    return ann.near_dup_embeddings(e, "vec_id", "embedding", threshold=0.3, n_planes=6)
+    return ann.near_dup_embeddings(
+        e, "vec_id", "embedding", threshold=0.3, n_planes=6, dim=ANN_DIM
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Rows-only check: mapInPandas decode kernel (stubbed codecs)."""
+    """mapInPandas decode kernel (stubbed codecs). The stub decode is
+    sha256(payload)-derived (byte k / 255 as float32), so each feature
+    dimension is emitted as a rounded double column — hashable by the
+    gate and reproducible byte-for-byte in the DuckDB oracle."""
     d = _t(spark, sf_dir, "documents")
     assets = mm.assets_from_documents(d)
-    return mm.decode_features(assets, feature_dim=8)
+    feats = mm.decode_features(assets, feature_dim=8)
+    return feats.select(
+        "asset_id",
+        *[F.round(F.col("features")[k].cast("double"), 6).alias(f"f{k}") for k in range(8)],
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -385,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_row_checksum": q_row_checksum,
         "q_reference_md5": q_reference_md5,
+        "q_mysql_md5": q_mysql_md5,
+        "q_opengauss_md5": q_opengauss_md5,
         "q_checksum_symdiff": q_checksum_symdiff,
         "q_multiset_diff": q_multiset_diff,
         "q_violation_recovery": q_violation_recovery,
@@ -411,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_topk": q_embedding_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_np2": q_ann_ivf_np2,
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_multimodal_features": q_multimodal_features,

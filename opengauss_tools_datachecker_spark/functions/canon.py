@@ -53,8 +53,36 @@ TIMESTAMP_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 DATE_FMT = "yyyy-MM-dd"
 
 
-def canon_column(col: Column | str, dtype: T.DataType) -> Column:
-    """Render *col* of *dtype* to its canonical string (NULL stays NULL)."""
+#: Rendering dialects. 'spark' is this engine's own canonical matrix;
+#: 'mysql' and 'opengauss' reproduce the reference's per-dialect
+#: generated-SQL forms (MysqlUtil.java:23-68, OpenGaussUtil.java:34-88)
+#: so a digest computed here is byte-comparable with one the reference
+#: itself would compute against that database.
+DIALECTS = ("spark", "mysql", "opengauss")
+
+
+def canon_column(col: Column | str, dtype: T.DataType, dialect: str = "spark") -> Column:
+    """Render *col* of *dtype* to its canonical string (NULL stays NULL).
+
+    Dialect float/binary/date quirks (the divergences a real
+    MySQL→openGauss migration check hits immediately):
+
+    - mysql: ``round(convert(col, char), 10)`` (MysqlUtil.java:25) —
+      ≤10 fractional digits with trailing zeros (and a bare point)
+      DROPPED: 1.50 → '1.5', 42.0 → '42'. Binary is UPPERCASE hex with
+      trailing NUL bytes trimmed (MysqlUtil.java:31); DATE carries a
+      midnight time: DATE_FORMAT '%Y-%m-%d %H:%i:%s.%f'
+      (MysqlUtil.java:33).
+    - opengauss: ``to_char(col, 'fm…9.0000000000')``
+      (OpenGaussUtil.java:38) — exactly 10 fractional digits, trailing
+      zeros KEPT, and the 'fm' mask drops the zero integer digit:
+      0.5 → '.5000000000', -0.25 → '-.2500000000'. Binary is lowercase
+      hex (bytea '\\x…' minus the prefix, OpenGaussUtil.java:43); DATE
+      renders through the timestamp mask 'YYYY-MM-DD HH24:MI:SS.FF'
+      (OpenGaussUtil.java:45).
+    """
+    if dialect not in DIALECTS:
+        raise ValueError(f"unknown dialect {dialect!r}; one of {DIALECTS}")
     c = F.col(col) if isinstance(col, str) else col
     if isinstance(dtype, T.StringType):
         return c
@@ -64,12 +92,26 @@ def canon_column(col: Column | str, dtype: T.DataType) -> Column:
         return c.cast("string")
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         # fixed 10 fractional digits, HALF_UP — cross-dialect stable
-        return c.cast(T.DecimalType(38, 10)).cast("string")
+        fixed = c.cast(T.DecimalType(38, 10)).cast("string")
+        if dialect == "mysql":
+            # MySQL ROUND-to-char drops trailing zeros and a bare point
+            return F.regexp_replace(fixed, r"\.?0+$", "")
+        if dialect == "opengauss":
+            # 'fm' numeric mask: no zero before the point for |x| < 1
+            return F.regexp_replace(fixed, r"^(-?)0\.", r"$1.")
+        return fixed
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.coalesce(F.date_format(c, TIMESTAMP_FMT), F.lit(NULL_DATE_SENTINEL))
     if isinstance(dtype, T.DateType):
+        if dialect in ("mysql", "opengauss"):
+            # both reference matrices push DATE through the datetime mask
+            rendered = F.concat(F.date_format(c, DATE_FMT), F.lit(" 00:00:00.000000"))
+            return F.coalesce(rendered, F.lit(NULL_DATE_SENTINEL))
         return F.coalesce(F.date_format(c, DATE_FMT), F.lit(NULL_DATE_SENTINEL))
     if isinstance(dtype, T.BinaryType):
+        if dialect == "mysql":
+            # hex(trim(TRAILING '\0' …)): Spark hex() is already uppercase
+            return F.regexp_replace(F.hex(c), "(00)+$", "")
         return F.lower(F.hex(c))
     if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
         return F.to_json(c)
@@ -106,15 +148,18 @@ def checksum_column(
     fields: list[T.StructField],
     algo: str = "sha256",
     reference_compat: bool = False,
+    dialect: str = "spark",
 ) -> Column:
     """Digest over the canonicalized concatenation of *fields*.
 
     The Spark form of ``md5(concat_ws('', convert(c1), ...))``
     (MysqlUtil.java:71-79) generalized to sha256 (BASELINE.json fixes
     sha256 as the per-row invariant). ``reference_compat=True`` keeps
-    the reference's empty separator + skip-NULL semantics and md5.
+    the reference's empty separator + skip-NULL semantics and md5;
+    combine with ``dialect='mysql'|'opengauss'`` to reproduce that
+    database's exact generated-SQL digest byte-for-byte.
     """
-    canons = [canon_column(f.name, f.dataType) for f in fields]
+    canons = [canon_column(f.name, f.dataType, dialect=dialect) for f in fields]
     if reference_compat:
         concat = F.concat_ws("", *canons)
         return F.md5(concat) if algo == "md5" else F.sha2(concat, 256)
@@ -133,9 +178,12 @@ def row_checksum(
     algo: str = "sha256",
     out: str = "checksum",
     reference_compat: bool = False,
+    dialect: str = "spark",
 ) -> Column:
     """``checksum_column`` bound to *df*'s schema (all or listed cols)."""
     by_name = {f.name: f for f in df.schema.fields}
     names = cols if cols is not None else [f.name for f in df.schema.fields]
     fields = [by_name[n] for n in names]
-    return checksum_column(fields, algo=algo, reference_compat=reference_compat).alias(out)
+    return checksum_column(
+        fields, algo=algo, reference_compat=reference_compat, dialect=dialect
+    ).alias(out)

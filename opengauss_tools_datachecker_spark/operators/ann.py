@@ -18,10 +18,14 @@ UDF-free. Final rounding/ranking happens in Spark (F.round +
 row_number), never in numpy, so rounding semantics are the engine's.
 
 Scale design: brute force is O(N·Q) dots against a broadcast corpus —
-fine to ~10^6 corpus rows and any query count (queries stream through
-Arrow batches; nothing but the corpus is held in memory). Beyond
-that, LSH buckets or IVF cells bound each join group; skewed buckets
-are AQE-split.
+the EXACT baseline, bounded at ~10^6 corpus rows by design (queries
+stream through Arrow batches; only the corpus matrix is held). The
+LSH/IVF scale paths never materialize the corpus anywhere: candidate
+(query, neighbor) pairs are joined back to the DISTRIBUTED vectors
+table on id (Spark/AQE picks broadcast vs shuffle from the vector
+side's size) and the cosine is computed per-pair in the Arrow kernel —
+driver and executor memory stay O(batch), so the candidate pruning
+reduces memory as well as compute. Skewed buckets/cells are AQE-split.
 """
 
 from __future__ import annotations
@@ -54,29 +58,37 @@ def _fold_norms(M: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
-def _score_candidate_pairs(pairs: DataFrame, bc, id_type: str) -> DataFrame:
-    """Score (query_id, neighbor_id) candidate pairs by cosine against
-    the broadcast corpus — elementwise fold per pair, same index order
-    as the HOF spec, raw doubles out (rounding stays in Spark)."""
+def _score_pairs_join(
+    pairs: DataFrame, vectors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Score (query_id, neighbor_id) candidate pairs by cosine WITHOUT
+    any driver/corpus materialization: each side of the pair is joined
+    back to the distributed vectors table on id (Spark auto-broadcasts
+    the vector side when its stats are under the broadcast threshold;
+    otherwise it's a shuffle join — either way no collect), then the
+    Arrow kernel computes the per-pair dot as an elementwise fold in
+    index order — bit-identical to the HOF spec and to ``_fold_gram``.
+    Raw doubles out; rounding stays in Spark."""
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    va = vectors.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb"))
+    withvecs = pairs.join(va, "query_id").join(vb, "neighbor_id")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat, norms = bc.value
-        index = {v: i for i, v in enumerate(ids)}
         for pdf in batches:
             if not len(pdf):
                 continue
-            ia = np.fromiter((index[v] for v in pdf["query_id"]), dtype=np.int64, count=len(pdf))
-            ib = np.fromiter((index[v] for v in pdf["neighbor_id"]), dtype=np.int64, count=len(pdf))
-            A, B = mat[ia], mat[ib]
+            A = np.array(pdf["_va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["_vb"].tolist(), dtype=np.float64)
             acc = np.zeros(len(pdf))
-            for k in range(mat.shape[1]):
+            for k in range(A.shape[1]):
                 acc += A[:, k] * B[:, k]
-            raw = acc / (norms[ia] * norms[ib])
+            raw = acc / (_fold_norms(A) * _fold_norms(B))
             yield pd.DataFrame(
                 {"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"], "_raw": raw}
             )
 
-    return pairs.mapInPandas(
+    return withvecs.mapInPandas(
         kernel, schema=f"query_id {id_type}, neighbor_id {id_type}, _raw double"
     )
 
@@ -104,7 +116,12 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _broadcast_corpus(df: DataFrame, id_col: str, vec_col: str):
-    """Collect (ids, matrix, norms) and broadcast to every executor."""
+    """Collect (ids, matrix, norms) and broadcast to every executor.
+
+    ONLY for the exact all-pairs baselines (brute_force_topk,
+    exact_near_dup_pairs), which are O(N·Q) by definition and documented
+    as ~10^6-row-bounded; the LSH/IVF scale paths score candidates via
+    :func:`_score_pairs_join` and never materialize the corpus."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
@@ -122,9 +139,13 @@ def brute_force_topk(
     """Exact cosine top-k neighbors: (query_id, neighbor_id, cos_sim, rank).
 
     Self-search when ``queries`` is None; ties broken by neighbor id.
-    The kernel pre-selects top (k + margin) per query by raw score;
-    Spark then applies the authoritative F.round + row_number ranking —
-    the margin covers rounded-score ties straddling the raw cutoff.
+    The kernel pre-selects top (k + margin) per query by raw score and
+    then widens the cut to EVERY candidate tied with the boundary raw
+    score (duplicated vectors can tie arbitrarily many candidates at
+    the cutoff — argpartition alone would drop some of them and break
+    the authoritative (cos_sim desc, neighbor_id asc) ranking that
+    Spark applies via F.round + row_number). The margin additionally
+    covers distinct raw scores that round to the same cos_sim.
     """
     from pyspark.sql.window import Window
 
@@ -144,7 +165,11 @@ def brute_force_topk(
                 row = sims[i]
                 cand = np.flatnonzero(ids != qid)
                 if len(cand) > take:
-                    cand = cand[np.argpartition(-row[cand], take)[:take]]
+                    sel = cand[np.argpartition(-row[cand], take)[:take]]
+                    cutoff = row[sel].min()
+                    # widen to all raw ties at the boundary — exactness
+                    # is preserved even on tie-heavy (duplicated) data
+                    cand = cand[row[cand] >= cutoff]
                 out_q.extend([qid] * len(cand))
                 out_n.extend(ids[cand])
                 out_s.extend(row[cand])
@@ -198,6 +223,11 @@ def lsh_topk(
     n_tables independent plane sets union their candidates, recall
     1-(1-p)^T. Each candidate join is per-(table, bucket) — group sizes
     shrink 2^n_planes-fold vs brute force; AQE splits skewed buckets.
+    Scoring joins candidate pairs back to the distributed vectors table
+    (no corpus collect) — the 100 TB path end to end.
+
+    Pass ``dim`` (or read it from your feature registry): the sniffing
+    fallback runs one extra tiny Spark job per call.
     """
     from pyspark.sql.window import Window
 
@@ -219,8 +249,7 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    bc = _broadcast_corpus(df, id_col, vec_col)
-    raw = _score_candidate_pairs(pairs, bc, df.schema[id_col].dataType.simpleString())
+    raw = _score_pairs_join(pairs, df, id_col, vec_col)
     scored = raw.select("query_id", "neighbor_id", F.round("_raw", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -261,6 +290,23 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return (-F.array_max(scored)["nj"]).cast("int")
 
 
+def ivf_probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest cells for a query vector, best first.
+    Ties break to the LOWER cell id: array_sort orders (score asc,
+    -cell asc); reversed that is (score desc, cell asc)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(vec, F.array(*[F.lit(w) for w in c])).alias("s"),
+                F.lit(-j).alias("nj"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda t: (-t["nj"]).cast("int"))
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -269,15 +315,19 @@ def ivf_topk(
     n_centroids: int = 8,
     dim: int | None = None,
     seed: str = "ivf",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: assign each vector to its
-    nearest coarse centroid, search within the cell (nprobe=1).
+    """IVF (inverted-file) approximate top-k: assign each corpus vector
+    to its nearest coarse centroid; each query searches its ``nprobe``
+    nearest cells.
 
     The scale path beyond LSH: cells shrink the candidate join
-    ~n_centroids-fold and the cell assignment is a pure map (codegen'd
-    higher-order dot products, no UDF). Recall is bounded by nprobe;
-    production raises it by also joining each query against its next-P
-    cells — same join shape, P× candidates. AQE splits skewed cells.
+    ~n_centroids/nprobe-fold and both the cell assignment and the probe
+    list are pure maps (codegen'd higher-order dot products, no UDF).
+    nprobe > 1 explodes each query over its next-best cells — same join
+    shape, nprobe× candidates, recall rises accordingly. Scoring joins
+    candidate pairs back to the distributed vectors table (no corpus
+    collect). AQE splits skewed cells.
     """
     from pyspark.sql.window import Window
 
@@ -286,11 +336,18 @@ def ivf_topk(
     cents = ivf_centroids(dim, n_centroids, seed)
     vec = F.col(vec_col)
     assigned = df.select(F.col(id_col), ivf_assign(vec, cents).alias("_cell"))
-    a = assigned.select(F.col(id_col).alias("query_id"), "_cell")
+    if nprobe <= 1:
+        a = assigned.select(F.col(id_col).alias("query_id"), "_cell")
+    else:
+        a = df.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(ivf_probe_cells(vec, cents, nprobe)).alias("_cell"),
+        )
     b = assigned.select(F.col(id_col).alias("neighbor_id"), "_cell")
+    # corpus vectors live in exactly one cell, so a (query, neighbor)
+    # pair arises from at most one probed cell — no dedup needed
     pairs = a.join(b, "_cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    bc = _broadcast_corpus(df, id_col, vec_col)
-    raw = _score_candidate_pairs(pairs, bc, df.schema[id_col].dataType.simpleString())
+    raw = _score_pairs_join(pairs, df, id_col, vec_col)
     scored = raw.select("query_id", "neighbor_id", F.round("_raw", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -305,8 +362,10 @@ def exact_near_dup_pairs(
     ≥ threshold. O(N²) dots against the broadcast corpus — the
     correctness oracle for :func:`near_dup_embeddings`, which prunes
     the pair space with sign-LSH buckets at scale. The kernel filters
-    with an epsilon slack on the raw score; Spark's F.round + filter is
-    authoritative.
+    with an epsilon slack on the raw score of 6e-7 — more than half an
+    ulp of the round(·, 6) grid plus float slack, so any pair whose raw
+    cosine rounds up across the threshold survives to Spark's
+    authoritative F.round + filter.
     """
     bc = _broadcast_corpus(df, id_col, vec_col)
     id_type = df.schema[id_col].dataType.simpleString()
@@ -321,7 +380,7 @@ def exact_near_dup_pairs(
             out_a, out_b, out_s = [], [], []
             for i, qid in enumerate(pdf["_qid"].to_numpy()):
                 row = sims[i]
-                keep = np.flatnonzero((ids > qid) & (row >= threshold - 1e-9))
+                keep = np.flatnonzero((ids > qid) & (row >= threshold - 6e-7))
                 out_a.extend([qid] * len(keep))
                 out_b.extend(ids[keep])
                 out_s.extend(row[keep])
@@ -335,17 +394,24 @@ def exact_near_dup_pairs(
 
 
 def near_dup_embeddings(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 8
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above threshold (LSH-bucketed)."""
-    dim = len(df.select(vec_col).first()[0])
+    """Embedding-cosine near-duplicate pairs above threshold — the
+    LSH-bucketed scale path: sign-LSH prunes the pair space, scoring
+    joins pairs back to the distributed vectors (no corpus collect)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
     bucketed = df.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("_b"))
     a = bucketed.select(F.col(id_col).alias("query_id"), "_b")
     b = bucketed.select(F.col(id_col).alias("neighbor_id"), "_b")
     pairs = a.join(b, "_b").filter(F.col("query_id") < F.col("neighbor_id"))
-    bc = _broadcast_corpus(df, id_col, vec_col)
-    raw = _score_candidate_pairs(pairs, bc, df.schema[id_col].dataType.simpleString())
+    raw = _score_pairs_join(pairs, df, id_col, vec_col)
     return raw.select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),

@@ -55,12 +55,18 @@ from opengauss_tools_datachecker_spark.functions.text import (
 _JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
 
 
-def _py_tokens(text: str | None) -> list[str]:
-    return _JAVA_WS.split((text or "").strip(" "))
+def _py_tokens(text: str | None) -> list[str] | None:
+    """NULL text mirrors split(trim(NULL)) = NULL — callers treat None as
+    the null token array (shingles -> [], simhash votes -> all zero),
+    matching the Catalyst spec instead of coalescing to [''] (which would
+    hash md5('') and diverge for NULL documents)."""
+    if text is None:
+        return None
+    return _JAVA_WS.split(text.strip(" "))
 
 
-def _py_shingles(toks: list[str], n: int) -> list[str]:
-    if len(toks) < n:
+def _py_shingles(toks: list[str] | None, n: int) -> list[str]:
+    if toks is None or len(toks) < n:
         return []
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
@@ -197,7 +203,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             ids, vals = list(pdf["_id"]), []
             for text in pdf["_text"]:
                 votes = [0] * 16
-                for t in _py_tokens(text):
+                for t in _py_tokens(text) or []:
                     digest = _md5(t)
                     for k in range(16):
                         votes[k] += 1 if digest[k] in _HEX_HIGH else -1
@@ -210,21 +216,48 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2) -> DataFrame:
-    """Pairs within Hamming distance on the SimHash fingerprint.
+    """Pairs within Hamming distance ≤ max_hamming on the SimHash
+    fingerprint — GUARANTEED recall via pigeonhole banding.
 
-    Joins on identical fingerprint first (the LSH trick for SimHash is
-    bit-band rotation; at 16 bits an equality join + popcount filter on
-    the small residual is enough). Scale path: split the fingerprint
-    into 4-bit bands, equi-join per band, verify popcount.
+    The 16 bits are split into (max_hamming + 1) disjoint bands; a pair
+    differing in at most max_hamming bits must agree EXACTLY on at least
+    one band, so per-band equi-joins plus an exact popcount verify find
+    every qualifying pair (including high-bit flips). Output is thus the
+    true Hamming-ball pair set, band-pruned but lossless.
+
+    Scale note: recall costs selectivity — band width is
+    16 // (h + 1) bits, so at h near 8 the buckets approach N/4 and the
+    join densifies. That is inherent to a 16-bit sketch; production
+    uses a 64-bit SimHash (band width 64/(h+1)) with this exact shape.
     """
     fp = simhash_fingerprints(df, id_col, text_col)
-    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    # band on the high byte to avoid the full cross join
-    a = a.withColumn("band", (F.col("sh_a") / 256).cast("int"))
-    b = b.withColumn("band", (F.col("sh_b") / 256).cast("int"))
-    pairs = a.join(b, "band").filter(F.col("id_a") < F.col("id_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return simhash_pairs_from_fingerprints(fp, id_col, max_hamming)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame, id_col: str, max_hamming: int
+) -> DataFrame:
+    """Pigeonhole band join over a (id, simhash) fingerprint table —
+    see :func:`simhash_near_dups` for the recall guarantee."""
+    n_bands = max_hamming + 1
+    bounds = [round(16 * b / n_bands) for b in range(n_bands + 1)]
+    band_cols = []
+    for b in range(n_bands):
+        lo, width = bounds[b], bounds[b + 1] - bounds[b]
+        band_val = F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << width) - 1))
+        band_cols.append(F.concat_ws(":", F.lit(str(b)), band_val.cast("string")))
+    bands = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("band_key")
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_key")
+    b2 = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_key")
+    pairs = (
+        a.join(b2, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
@@ -285,10 +318,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity: (id_a, id_b, jaccard ≥ threshold).
 
-    With ``candidates`` (e.g. LSH output) the self-join is replaced by a
-    semi-joined verification — the production path.
+    With ``candidates`` (e.g. LSH output) verification touches ONLY the
+    candidate docs' shingles: their doc-ids are semi-joined against the
+    shingle rows BEFORE the self-join, so the quadratic within-shingle
+    pair explosion is paid on the pruned set, not the full corpus — the
+    production path. (A semi-join only on the aggregated pairs would
+    land above the shingle join and prune nothing.)
     """
     sh = distinct_shingle_rows(df, id_col, text_col, shingle_n)
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+        )
+        # keeps every shingle of each candidate doc, so per-doc sizes
+        # and intersections below are exact for the surviving pairs
+        sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")

@@ -69,6 +69,31 @@ ORACLES["q_reference_md5"] = f"""
 SELECT o_orderkey, md5(concat_ws('', {_REF_PARTS})) AS md5_digest FROM orders
 """
 
+# per-dialect float render twins (functions/canon.py dialect matrices):
+# mysql drops trailing zeros and a bare point; opengauss 'fm' drops the
+# zero integer digit and keeps all 10 fractional digits
+def _canon_dialect(col: str, typ: str, dialect: str) -> str:
+    base = _canon(col, typ)
+    if typ == "double" and dialect == "mysql":
+        return f"regexp_replace({base}, '\\.?0+$', '')"
+    if typ == "double" and dialect == "opengauss":
+        return f"regexp_replace({base}, '^(-?)0\\.', '\\1.')"
+    return base
+
+
+_DIALECT_LI = [
+    ("l_quantity", "double"), ("l_extendedprice", "double"),
+    ("l_discount", "double"), ("l_tax", "double"),
+    ("l_returnflag", "str"), ("l_shipdate", "ts"),
+]
+
+for _dialect in ("mysql", "opengauss"):
+    _parts = ", ".join(_canon_dialect(c, t, _dialect) for c, t in _DIALECT_LI)
+    ORACLES[f"q_{_dialect}_md5"] = f"""
+SELECT l_orderkey, l_linenumber, md5(concat_ws('', {_parts})) AS md5_digest
+FROM lineitem
+"""
+
 _PERTURBED = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1.0
@@ -177,6 +202,38 @@ SELECT bucket, ROUND(st, 4) AS chi2_stat,
 FROM stat
 """
 
+# KS D-statistic over the log2-length histogram, bucket vs rest-of-table.
+# Mirrors drift_verdicts' fallback mode exactly: the per-bucket group
+# contains ONLY bins present in that bucket (inner join on the bin), the
+# reference counts are (total - bucket) over those bins, bins sort
+# numerically, and D = max |cumsum(obs)/n1 - cumsum(ref)/n2|
+# (operators/drift.py:88-94,131-153). Counts are exact integers, so the
+# double cumsums agree bit-for-bit with numpy's sequential fold.
+ORACLES["q_drift_ks"] = """
+WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket,
+                  FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT v, SUM(n) AS nt FROM h GROUP BY 1),
+j AS (SELECT h.bucket, h.v, CAST(h.n AS DOUBLE) AS obs,
+             CAST(tot.nt - h.n AS DOUBLE) AS ref
+      FROM h JOIN tot USING (v)),
+s AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2 FROM j GROUP BY 1),
+c AS (SELECT bucket, v,
+             SUM(obs) OVER (PARTITION BY bucket ORDER BY v) AS cobs,
+             SUM(ref) OVER (PARTITION BY bucket ORDER BY v) AS cref
+      FROM j),
+d AS (SELECT c.bucket,
+             MAX(CASE WHEN s.n1 > 0 AND s.n2 > 0
+                      THEN ABS(cobs / s.n1 - cref / s.n2) ELSE 0.0 END) AS stat,
+             MAX(s.n1) AS n1, MAX(s.n2) AS n2
+      FROM c JOIN s USING (bucket) GROUP BY 1)
+SELECT bucket, ROUND(stat, 4) AS ks_stat,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN stat > 1.628 * SQRT((n1 + n2) / (n1 * n2)) ELSE FALSE END AS drifted
+FROM d
+"""
+
 ORACLES["q_dedup_exact"] = """
 SELECT sha256(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS rep_doc
@@ -226,10 +283,11 @@ SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM toks
 ORACLES["q_simhash"] = _simhash_sql()
 
 
-def _simhash_neardup_sql(max_hamming: int = 6) -> str:
-    """Same banding as dedup.simhash_near_dups: equi-join on the high
-    byte (simhash // 256), then exact popcount filter — the oracle
-    reproduces the band semantics, not an unbanded all-pairs scan."""
+def _simhash_neardup_sql(max_hamming: int = 3) -> str:
+    """dedup.simhash_near_dups' pigeonhole banding has GUARANTEED recall
+    (a pair within Hamming h shares at least one of the h+1 disjoint
+    bands), so its output equals the exact unbanded Hamming-ball pair
+    set — which is what this oracle computes."""
     base = _simhash_sql().strip().rstrip()
     return f"""
 WITH fp AS ({base})
@@ -237,7 +295,7 @@ SELECT id_a, id_b, hamming FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) AS INT)
            AS hamming
-  FROM fp a JOIN fp b ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id)
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
 WHERE hamming <= {max_hamming}
 """
 
@@ -382,6 +440,43 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <
 
 ORACLES["q_ann_ivf"] = _ann_ivf_sql()
 
+
+def _ann_ivf_nprobe_sql(n_centroids: int = 8, dim: int = 64, k: int = 3, nprobe: int = 2) -> str:
+    """IVF nprobe>1: corpus vectors live in their single nearest cell;
+    each query probes its `nprobe` best cells (score desc, cell asc on
+    ties — matching ann.ivf_probe_cells' reversed array_sort)."""
+    cents = ivf_centroids(dim, n_centroids)
+    dots = []
+    for j, row in enumerate(cents):
+        lit = "[" + ", ".join(repr(w) for w in row) + "]"
+        dots.append(
+            f"list_dot_product(CAST(embedding AS DOUBLE[]), CAST({lit} AS DOUBLE[])) AS s{j}"
+        )
+    s_cols = ", ".join(dots)
+    structs = ", ".join(f"{{'cell': {j}, 's': s{j}}}" for j in range(n_centroids))
+    return f"""
+WITH d AS (SELECT vec_id, {s_cols} FROM embeddings),
+u AS (SELECT vec_id, unnest([{structs}]) AS c FROM d),
+ranked AS (SELECT vec_id, c.cell AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY c.s DESC, c.cell ASC) AS rn
+           FROM u),
+asgn AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe}),
+p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, ROUND({_COS}, 6) AS cos_sim
+      FROM probes q JOIN asgn n ON q.cell = n.cell AND q.vec_id != n.vec_id
+      JOIN embeddings a ON a.vec_id = q.vec_id
+      JOIN embeddings b ON b.vec_id = n.vec_id),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM p)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <= {k}
+"""
+
+
+ORACLES["q_ann_ivf_np2"] = _ann_ivf_nprobe_sql()
+
 # MinHash LSH candidates verified by exact shingle Jaccard — the
 # production two-stage near-dup pipeline in one query.
 ORACLES["q_minhash_verified"] = f"""
@@ -445,3 +540,29 @@ WHERE cos_sim >= {threshold}
 
 
 ORACLES["q_embedding_neardup_lsh"] = _embedding_neardup_lsh_sql()
+
+
+def _multimodal_sql(n: int = 8) -> str:
+    """Mirror of multimodal._fake_decode: feature k is byte k of
+    sha256(utf-8 payload) as float32(byte / 255). DuckDB reproduces the
+    float32 exactly via CAST(… AS REAL) (double-division-then-narrow
+    equals float32 division for every byte value — verified 0..255),
+    then rounds the widened double identically to Spark's F.round."""
+    hexv = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+    cols = []
+    for k in range(n):
+        hi = hexv.format(pos=2 * k + 1)
+        lo = hexv.format(pos=2 * k + 2)
+        cols.append(
+            f"ROUND(CAST(CAST((({hi}) * 16 + ({lo})) / 255.0 AS REAL) AS DOUBLE), 6) AS f{k}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH d AS (SELECT doc_id AS asset_id, sha256(COALESCE(text, '')) AS h FROM documents)
+SELECT asset_id,
+       {sel}
+FROM d
+"""
+
+
+ORACLES["q_multimodal_features"] = _multimodal_sql()

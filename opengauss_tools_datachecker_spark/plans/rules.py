@@ -284,25 +284,43 @@ class DriftRule:
     def _len_expr(df: DataFrame):
         return F.col("content_len") if "content_len" in df.columns else F.length("content")
 
+    @staticmethod
+    def _cat_col(df: DataFrame) -> str | None:
+        """'lang' when present; None degrades to length-only drift (the
+        runner treats a missing optional column as a schema finding, not
+        a crash — mirror that here instead of raising in plan build)."""
+        return "lang" if "lang" in df.columns else None
+
     def check(self, ctx: CheckContext) -> DataFrame:
         files = ctx.files_with_bucket()
         alpha = float(ctx.params.get("alpha", 0.01))
+        cat = self._cat_col(files)
         # one scan+shuffle per side: both histograms are marginals of the
         # joint cube, whose Exchange is computed once (ReuseExchange)
-        cube = histogram_cube(files, "lang", self._len_expr(files), by="bucket")
-        lang_hist = cube_marginal(cube, "cat")
-        len_hist = cube_marginal(cube, "len")
+        if cat is not None:
+            cube = histogram_cube(files, cat, self._len_expr(files), by="bucket")
+            lang_hist = cube_marginal(cube, "cat")
+            len_hist = cube_marginal(cube, "len")
+        else:
+            from opengauss_tools_datachecker_spark.operators.drift import length_histogram
+
+            lang_hist = None
+            len_hist = length_histogram(files, self._len_expr(files), by="bucket")
         ref_lang = ref_len = None
         ref_cube = ctx.baseline_cube
         if ref_cube is None and ctx.baseline is not None:
             base = ctx.baseline
             if "bucket" not in base.columns:
                 base = base.withColumn("bucket", bucket_of("repo", ctx.n_buckets))
-            ref_cube = histogram_cube(base, "lang", self._len_expr(base), by="bucket")
+            if self._cat_col(base) is not None:
+                ref_cube = histogram_cube(base, "lang", self._len_expr(base), by="bucket")
+            else:
+                from opengauss_tools_datachecker_spark.operators.drift import length_histogram
+
+                ref_len = length_histogram(base, self._len_expr(base), by="bucket")
         if ref_cube is not None:
             ref_lang = cube_marginal(ref_cube, "cat")
             ref_len = cube_marginal(ref_cube, "len")
-        chi2 = drift_verdicts(lang_hist, ref_lang, test="chi2", alpha=alpha).filter("drifted")
         ks = drift_verdicts(
             len_hist, ref_len, test="ks", alpha=alpha, numeric_order=True
         ).filter("drifted")
@@ -316,7 +334,13 @@ class DriftRule:
                 F.format_number(F.col("threshold"), 4).alias("expected"),
             )
 
-        return to_violations(chi2, "lang_chi2").unionByName(to_violations(ks, "len_ks"))
+        out = to_violations(ks, "len_ks")
+        if lang_hist is not None:
+            chi2 = drift_verdicts(lang_hist, ref_lang, test="chi2", alpha=alpha).filter(
+                "drifted"
+            )
+            out = to_violations(chi2, "lang_chi2").unionByName(out)
+        return out
 
 
 ALL_RULES = [

@@ -6,9 +6,11 @@ and tablepks exist but no incremental extractor was ever wired
 GaussController.java:234-250 always chooses the once-full extractor).
 This module supplies what the reference stubbed out: newly-arriving
 file rows are checksummed and verified against the manifest as they
-land, with exactly-once violation output via foreachBatch, plus a
-watermarked windowed event-rate monitor (the streaming analog of the
-reference's StatAggregation TPS printer, StatAggregation.java:45-126).
+land, with exactly-once-effective violation output (foreachBatch is
+at-least-once on failure/replay, so each batch overwrites its own
+``epoch=<id>`` partition — replays are idempotent), plus a watermarked
+windowed event-rate monitor (the streaming analog of the reference's
+StatAggregation TPS printer, StatAggregation.java:45-126).
 
 Scale notes: the per-batch join is stream-static; keep the manifest in
 a broadcast-able or bucketed store. Watermark bounds state; output is
@@ -36,7 +38,15 @@ def incremental_sha256_check(
     checkpoint_dir: str,
 ):
     """Stream parquet file-rows from input_dir; verify sha256 against the
-    static manifest; append violations to output_dir. Returns the query.
+    static manifest; write violations under output_dir. Returns the query.
+
+    Idempotent-by-epoch output: foreachBatch gives at-least-once batch
+    delivery on failure/replay, so each batch OVERWRITES its own
+    ``epoch=<epoch_id>`` subdirectory — a replayed epoch rewrites the
+    same partition instead of appending duplicates, making the overall
+    sink exactly-once-effective. Read the violations with
+    ``spark.read.parquet(output_dir)`` (partition discovery adds the
+    ``epoch`` column).
 
     Use ``trigger(availableNow=True)`` semantics via processAllAvailable
     in tests; in production this runs continuously as files land.
@@ -54,7 +64,7 @@ def incremental_sha256_check(
             "observed",
             F.col("expected_sha256").alias("expected"),
         )
-        violations.write.mode("append").parquet(output_dir)
+        violations.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
 
     return (
         observed.writeStream.foreachBatch(verify_batch)

@@ -97,3 +97,50 @@ def test_ivf_assign_deterministic(spark):
     }
     cells = {r.cell for r in a1.collect()}
     assert cells <= set(range(4)) and len(cells) > 1
+
+
+def test_scale_paths_never_collect_corpus(spark, vecs, monkeypatch):
+    """VERDICT r01 #2: the LSH/IVF/near-dup scale paths must score via
+    the pair-to-vectors join — never a driver corpus collect."""
+
+    def boom(*_a, **_k):
+        raise AssertionError("scale path collected the corpus to the driver")
+
+    monkeypatch.setattr(ann, "_broadcast_corpus", boom)
+    assert ann.lsh_topk(vecs, "vec_id", "embedding", k=1, n_planes=2, n_tables=1, dim=4).count() >= 0
+    assert ann.ivf_topk(vecs, "vec_id", "embedding", k=1, n_centroids=2, dim=4).count() >= 0
+    assert (
+        ann.near_dup_embeddings(vecs, "vec_id", "embedding", 0.9, n_planes=2, dim=4).count() >= 0
+    )
+
+
+def test_brute_force_tie_heavy_exact(spark):
+    """ADVICE r01: more raw-score ties at the cutoff than the selection
+    margin must not break the (cos_sim desc, neighbor_id asc) ranking."""
+    rows = [(i, [1.0, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = ann.brute_force_topk(df, "vec_id", "embedding", k=1, selection_margin=2).collect()
+    by_q = {r.query_id: r.neighbor_id for r in top}
+    assert by_q[10] == 0 and by_q[0] == 1  # smallest eligible id wins every tie
+    assert len(by_q) == 50
+
+
+def test_ivf_nprobe2_recall_not_worse(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.brute_force_topk(emb, "vec_id", "embedding", k=1).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann.ivf_topk(
+                emb, "vec_id", "embedding", k=1, n_centroids=4, nprobe=nprobe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, f"nprobe=2 recall {r2} < nprobe=1 recall {r1}"
+    assert r2 > 0.5

@@ -93,3 +93,63 @@ def test_reencode_roundtrip_and_lossy(spark):
     # (MALFORMED_CHARACTER_CODING), unlike the reference's silent REPLACE
     with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
         df.select(reencode("s", "UTF-8", "US-ASCII").alias("r")).collect()
+
+
+def _render_d(spark, value, dtype, dialect):
+    schema = T.StructType([T.StructField("v", dtype, True)])
+    df = spark.createDataFrame([(value,)], schema)
+    return df.select(canon_column("v", dtype, dialect=dialect).alias("c")).collect()[0]["c"]
+
+
+def test_mysql_dialect_golden_strings(spark):
+    """MysqlUtil.java:25,31,33 — round(convert(col,char),10) float form
+    (trailing zeros dropped), trailing-NUL-trimmed UPPER hex binary,
+    DATE through the '%Y-%m-%d %H:%i:%s.%f' datetime mask."""
+    assert _render_d(spark, 1.5, T.DoubleType(), "mysql") == "1.5"
+    assert _render_d(spark, 25.0, T.DoubleType(), "mysql") == "25"
+    assert _render_d(spark, 0.04, T.DoubleType(), "mysql") == "0.04"
+    assert _render_d(spark, 0.0, T.DoubleType(), "mysql") == "0"
+    assert _render_d(spark, -0.25, T.DoubleType(), "mysql") == "-0.25"
+    assert _render_d(spark, 0.12345678995, T.DoubleType(), "mysql") == "0.12345679"
+    assert _render_d(spark, b"\x1a\x2b\x00\x00", T.BinaryType(), "mysql") == "1A2B"
+    assert _render_d(spark, b"\x00\x00", T.BinaryType(), "mysql") == ""
+    assert (
+        _render_d(spark, datetime.date(2024, 2, 29), T.DateType(), "mysql")
+        == "2024-02-29 00:00:00.000000"
+    )
+    assert _render_d(spark, None, T.DateType(), "mysql") == NULL_DATE_SENTINEL
+
+
+def test_opengauss_dialect_golden_strings(spark):
+    """OpenGaussUtil.java:38,43,45 — to_char 'fm…0000000000' float form
+    (zero integer digit dropped, 10 fractional digits kept), lowercase
+    hex binary, DATE through the timestamp mask."""
+    assert _render_d(spark, 0.5, T.DoubleType(), "opengauss") == ".5000000000"
+    assert _render_d(spark, -0.25, T.DoubleType(), "opengauss") == "-.2500000000"
+    assert _render_d(spark, 25.0, T.DoubleType(), "opengauss") == "25.0000000000"
+    assert _render_d(spark, 1234.5, T.DoubleType(), "opengauss") == "1234.5000000000"
+    assert _render_d(spark, b"\x1a\x2b\x00", T.BinaryType(), "opengauss") == "1a2b00"
+    assert (
+        _render_d(spark, datetime.date(2024, 2, 29), T.DateType(), "opengauss")
+        == "2024-02-29 00:00:00.000000"
+    )
+
+
+def test_dialect_digest_modes_differ_and_are_deterministic(spark):
+    df = spark.createDataFrame([(1, 0.5), (2, 25.0)], "id long, x double")
+    out = df.select(
+        "id",
+        row_checksum(df, cols=["x"], algo="md5", reference_compat=True,
+                     dialect="mysql", out="m"),
+        row_checksum(df, cols=["x"], algo="md5", reference_compat=True,
+                     dialect="opengauss", out="g"),
+        row_checksum(df, cols=["x"], algo="md5", reference_compat=True, out="s"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    # 0.5: '.5000000000' vs '0.5' vs '0.5000000000' — all three diverge
+    assert len({by_id[1].m, by_id[1].g, by_id[1].s}) == 3
+    # 25.0: mysql drops the fraction entirely; opengauss == spark form
+    assert by_id[2].m != by_id[2].s and by_id[2].g == by_id[2].s
+
+    with pytest.raises(ValueError, match="unknown dialect"):
+        canon_column("v", T.DoubleType(), dialect="oracle9i")

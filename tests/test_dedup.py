@@ -76,3 +76,74 @@ def test_simhash_near_dups_finds_identical_text(spark):
     found = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
     assert ("a", "b", 0) in found
     assert all(h == 0 for (_, _, h) in found)
+
+
+def test_simhash_pigeonhole_guaranteed_recall(spark):
+    """Property (VERDICT r01 #5): every pair within Hamming h is found,
+    INCLUDING flips confined to the high byte (which the r01 high-byte
+    banding silently missed) — the band output equals the exact
+    unbanded Hamming-ball pair set."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (0, 0x5A5A),
+        (1, 0x5A5A ^ 0xE000),  # 3 high-byte bits flipped
+        (2, 0x5A5A ^ 0x0007),  # 3 low-byte bits
+        (3, 0x5A5A ^ 0x8001),  # 1 high + 1 low
+        (4, 0x5A5A ^ 0xF00F),  # 8 bits - outside h=3
+    ]
+    rows += [(i, rng.randrange(65536)) for i in range(5, 40)]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash int")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs_from_fingerprints(fp, "doc_id", 3).collect()
+    }
+    exact = {
+        (a, b)
+        for (a, va), (b, vb) in itertools.combinations(rows, 2)
+        if bin(va ^ vb).count("1") <= 3
+    }
+    assert (0, 1) in exact  # the high-byte case is genuinely exercised
+    assert (0, 4) not in got
+    assert got == exact
+
+
+def test_null_text_kernels_match_catalyst_spec(spark):
+    """ADVICE r01: NULL documents must not be coalesced to '' — kernel
+    outputs mirror the Catalyst HOF spec (split(trim(NULL)) = NULL)."""
+    from opengauss_tools_datachecker_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d")], "doc_id long, text string"
+    )
+    kern = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(df, "doc_id", "text").collect()}
+    spec = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", tx.simhash16(tx.tokens("text")).alias("sh")).collect()
+    }
+    assert kern == spec
+
+    sig = dedup.minhash_signatures(df, "doc_id", "text", n_hashes=2, shingle_n=1)
+    spec_sig = df.select(
+        "doc_id",
+        *[
+            c.alias(f"mh{j}")
+            for j, c in enumerate(tx.minhash_signature(tx.shingles(tx.tokens("text"), 1), 2))
+        ],
+    )
+    assert sorted(map(tuple, sig.collect())) == sorted(map(tuple, spec_sig.collect()))
+
+
+def test_verified_mode_prunes_before_shingle_join(spark, docs):
+    """VERDICT r01 #4: with candidates given, the shingle self-join must
+    only see candidate docs' shingle rows (the semi-join sits BELOW the
+    join, not above the aggregate)."""
+    cands = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    plan = dedup.ngram_jaccard_pairs(
+        df=docs, id_col="doc_id", text_col="text", threshold=0.1, candidates=cands
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # the optimized plan keeps LeftSemi joins below the shingle equi-join:
+    # both self-join inputs are semi-filtered by the candidate doc-ids
+    assert plan.count("LeftSemi") >= 2

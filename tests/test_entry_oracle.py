@@ -71,8 +71,8 @@ def test_all_queries_have_oracle_or_reason():
     qs = set(entrymod.queries())
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
-    # rows-only (non-SQL-expressible) set is explicit and small
-    assert qs - os_ == {"q_drift_ks", "q_multimodal_features"}
+    # every queries() entry now carries a DuckDB oracle
+    assert qs == os_
 
 
 def test_entry_smoke(spark):

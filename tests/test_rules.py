@@ -197,3 +197,16 @@ def test_metamorphic_clean_any_seed(spark, seed):
     )
     assert _keys(v) == {"|".join([r.repo, r.path, r.commit]) for r in expected.collect()}
     clean.unpersist()
+
+
+def test_drift_rule_without_lang_degrades(spark, small_files, base):
+    """ADVICE r01: a table missing only the optional 'lang' column must
+    not abort DriftRule plan construction — it degrades to length-KS
+    drift only (lang absence is the schema rule's finding)."""
+    nolang = small_files.drop("lang")
+    keys = _keys(DriftRule().check(_ctx(spark, nolang, base)))
+    assert all(k.startswith("len_ks|") for k in keys)
+    # and with a baseline that also lacks lang (ref_len path)
+    keys_b = _keys(DriftRule().check(_ctx(spark, nolang, base, baseline=nolang)))
+    assert all(k.startswith("len_ks|") for k in keys_b)
+    assert keys_b == set()  # identical baseline -> no drift
