@@ -32,6 +32,8 @@ from opengauss_tools_datachecker_spark.session import get_spark
 HEADLINE = [
     "q_row_checksum",
     "q_reference_md5",
+    "q_mysql_md5",
+    "q_opengauss_md5",
     "q_checksum_symdiff",
     "q_multiset_diff",
     "q_violation_recovery",
@@ -58,6 +60,7 @@ HEADLINE = [
     "q_embedding_topk",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_ann_ivf_np2",
     "q_embedding_neardup",
     "q_embedding_neardup_lsh",
     "q_multimodal_features",
@@ -103,10 +106,16 @@ def bench_rule_suite(spark, n_files: int, seed: int = 42) -> tuple[float, int]:
         run_suite(ctx).unpersist_all()  # materializes every rule + verdicts
 
     suite()  # steady state: C2 JIT + python workers + page cache
-    t0 = time.time()
-    suite()
-    dt = time.time() - t0
-    return dt, n_files
+    # min of 3 timed runs: this host shows intermittent hypervisor CPU
+    # steal (BENCH/BASELINE.md) — the same warmed suite has measured
+    # anywhere from 12.9s to 29.3s run-to-run; the minimum is the
+    # reproducible steady-state cost, the rest is one-sided noise
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        suite()
+        best = min(best, time.time() - t0)
+    return best, n_files
 
 
 def main() -> None:
@@ -131,15 +140,16 @@ def main() -> None:
     timings["rule_suite"] = round(suite_sec, 3)
 
     # steady-state per query: first run compiles the plan's codegen
-    # classes and spawns python workers, second run is the measurement
-    # (production executors are long-lived JVMs)
+    # classes and spawns python workers; report the fastest of the two
+    # (min, not last — one-sided steal noise, see the suite note)
     qs = entrymod.queries()
     for name in HEADLINE:
+        best = float("inf")
         for _ in range(2):
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
-            dt = time.time() - t0
-        timings[name] = round(dt, 3)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

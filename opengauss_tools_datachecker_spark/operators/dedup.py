@@ -238,28 +238,52 @@ def simhash_pairs_from_fingerprints(
     fp: DataFrame, id_col: str, max_hamming: int
 ) -> DataFrame:
     """Pigeonhole band join over a (id, simhash) fingerprint table —
-    see :func:`simhash_near_dups` for the recall guarantee."""
+    see :func:`simhash_near_dups` for the recall guarantee.
+
+    A pair sharing several bands would surface once per shared band;
+    instead of a pair-level dedup SHUFFLE, each pair is emitted only
+    from its FIRST matching band — a pure codegen filter (the earlier
+    bands' inequality is recomputed from the two fingerprints riding on
+    the join output). One shuffle total (the band join itself).
+    """
     n_bands = max_hamming + 1
     bounds = [round(16 * b / n_bands) for b in range(n_bands + 1)]
-    band_cols = []
-    for b in range(n_bands):
+
+    def band_val(col, b: int):
         lo, width = bounds[b], bounds[b + 1] - bounds[b]
-        band_val = F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << width) - 1))
-        band_cols.append(F.concat_ws(":", F.lit(str(b)), band_val.cast("string")))
+        return F.shiftright(col, lo).bitwiseAND(F.lit((1 << width) - 1))
+
     bands = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("band_key")
-    )
-    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band_key")
-    b2 = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band_key")
-    pairs = (
-        a.join(b2, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"), band_val(F.col("simhash"), b).alias("v")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.b").alias("b"), F.col("bk.v").alias("v"))
+    # (id, simhash, band) is tiny; cache it so both sides of the
+    # self-join reuse one fingerprint-kernel pass instead of two
+    bands = bands.persist()
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "b", "v")
+    b2 = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "b", "v")
+    pairs = a.join(b2, ["b", "v"]).filter(F.col("id_a") < F.col("id_b"))
+    first_match = F.lit(True)
+    for j in range(n_bands - 1):
+        earlier_same = band_val(F.col("sh_a"), j) == band_val(F.col("sh_b"), j)
+        first_match = first_match & F.when(F.col("b") > j, ~earlier_same).otherwise(
+            F.lit(True)
+        )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        pairs.filter(first_match)
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 
