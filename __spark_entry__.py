@@ -130,6 +130,37 @@ def q_opengauss_md5(spark, sf_dir):
     )
 
 
+def q_oracle_md5(spark, sf_dir):
+    """Oracle-dialect digest: 'fm' float mask + SECONDS-ONLY timestamps
+    ('YYYY-MM-DD HH24:MI:SS', no fraction, no NULL sentinel) per
+    OracleUtil.java:23,38."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        row_checksum(
+            li, cols=_DIALECT_LI_COLS, algo="md5", out="md5_digest",
+            reference_compat=True, dialect="oracle",
+        ),
+    )
+
+
+def q_postgres_md5(spark, sf_dir):
+    """Postgres-dialect digest: round(x::numeric,10) floats (scale-10
+    numeric) + PG default timestamp text (trailing fraction zeros
+    trimmed, '.000000' dropped entirely) per PostgresUtil.java:27 and
+    the matrix's default timestamp rendering."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        row_checksum(
+            li, cols=_DIALECT_LI_COLS, algo="md5", out="md5_digest",
+            reference_compat=True, dialect="postgres",
+        ),
+    )
+
+
 def _perturbed_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.withColumn(
@@ -259,6 +290,22 @@ def q_drift_ks(spark, sf_dir):
     return v.select("bucket", F.round("statistic", 4).alias("ks_stat"), "drifted")
 
 
+def q_len_percentiles(spark, sf_dir):
+    """N1 extension: exact interpolated percentiles of content length
+    per source (Spark `percentile`, not approx — the DuckDB twin is
+    quantile_cont with identical linear interpolation)."""
+    d = _t(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("ps")
+    )
+    return agg.select(
+        "source",
+        F.round(F.col("ps")[0], 4).alias("p50"),
+        F.round(F.col("ps")[1], 4).alias("p90"),
+        F.round(F.col("ps")[2], 4).alias("p99"),
+    )
+
+
 # --- training-data queries ----------------------------------------------
 
 
@@ -282,6 +329,18 @@ def q_simhash(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+
+
+def q_simhash60(spark, sf_dir):
+    """60-bit SimHash fingerprints — the scale sketch (15-bit pigeonhole
+    bands at h=3 vs the 16-bit portable sketch's 4-bit bands)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash60_fingerprints(d, "doc_id", "text")
+
+
+def q_simhash60_neardup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash60_near_dups(d, "doc_id", "text", max_hamming=3)
 
 
 def q_simhash_neardup(spark, sf_dir):
@@ -320,6 +379,16 @@ def q_quality(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.fingerprints(d, "doc_id", "text", n=5, keep=3)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate pairs:
+    (doc_id, cluster) with the min reachable doc id as representative —
+    the dedup-group step of a training-data pipeline. Oracle: recursive
+    label-propagation CTE over the same band SQL."""
+    d = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
+    return dedup.dedup_clusters(cand)
 
 
 def q_minhash_verified(spark, sf_dir):
@@ -443,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reference_md5": q_reference_md5,
         "q_mysql_md5": q_mysql_md5,
         "q_opengauss_md5": q_opengauss_md5,
+        "q_oracle_md5": q_oracle_md5,
+        "q_postgres_md5": q_postgres_md5,
         "q_checksum_symdiff": q_checksum_symdiff,
         "q_multiset_diff": q_multiset_diff,
         "q_violation_recovery": q_violation_recovery,
@@ -453,13 +524,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_status_counts": q_status_counts,
         "q_lang_histogram": q_lang_histogram,
         "q_len_histogram": q_len_histogram,
+        "q_len_percentiles": q_len_percentiles,
         "q_drift_chi2": q_drift_chi2,
         "q_drift_ks": q_drift_ks,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_bands": q_minhash_bands,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash_neardup": q_simhash_neardup,
+        "q_simhash60": q_simhash60,
+        "q_simhash60_neardup": q_simhash60_neardup,
         "q_minhash_verified": q_minhash_verified,
         "q_catalog_scan": q_catalog_scan,
         "q_token_stats": q_token_stats,

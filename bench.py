@@ -34,6 +34,8 @@ HEADLINE = [
     "q_reference_md5",
     "q_mysql_md5",
     "q_opengauss_md5",
+    "q_oracle_md5",
+    "q_postgres_md5",
     "q_checksum_symdiff",
     "q_multiset_diff",
     "q_violation_recovery",
@@ -44,13 +46,17 @@ HEADLINE = [
     "q_status_counts",
     "q_lang_histogram",
     "q_len_histogram",
+    "q_len_percentiles",
     "q_drift_chi2",
     "q_drift_ks",
     "q_dedup_exact",
     "q_minhash_bands",
+    "q_dedup_clusters",
     "q_simhash",
     "q_ngram_jaccard",
     "q_simhash_neardup",
+    "q_simhash60",
+    "q_simhash60_neardup",
     "q_minhash_verified",
     "q_catalog_scan",
     "q_token_stats",

@@ -54,11 +54,12 @@ DATE_FMT = "yyyy-MM-dd"
 
 
 #: Rendering dialects. 'spark' is this engine's own canonical matrix;
-#: 'mysql' and 'opengauss' reproduce the reference's per-dialect
-#: generated-SQL forms (MysqlUtil.java:23-68, OpenGaussUtil.java:34-88)
-#: so a digest computed here is byte-comparable with one the reference
-#: itself would compute against that database.
-DIALECTS = ("spark", "mysql", "opengauss")
+#: the other four reproduce the reference's per-dialect generated-SQL
+#: forms (MysqlUtil.java:23-68, OpenGaussUtil.java:34-88,
+#: OracleUtil.java:23-83, PostgresUtil.java:22-75) so a digest computed
+#: here is byte-comparable with one the reference itself would compute
+#: against that database.
+DIALECTS = ("spark", "mysql", "opengauss", "oracle", "postgres")
 
 
 def canon_column(col: Column | str, dtype: T.DataType, dialect: str = "spark") -> Column:
@@ -80,11 +81,31 @@ def canon_column(col: Column | str, dtype: T.DataType, dialect: str = "spark") -
       hex (bytea '\\x…' minus the prefix, OpenGaussUtil.java:43); DATE
       renders through the timestamp mask 'YYYY-MM-DD HH24:MI:SS.FF'
       (OpenGaussUtil.java:45).
+    - oracle: floats through the same 'fm' mask (OracleUtil.java:23);
+      TIMESTAMP renders SECONDS ONLY — 'YYYY-MM-DD HH24:MI:SS', no
+      fractional part and no NULL sentinel (OracleUtil.java:38, there
+      is no nvl in the Oracle matrix: NULL is skipped by the digest's
+      concat). Binary is lower(rawtohex) (OracleUtil.java:40). CHAR
+      columns are rtrim'd (OracleUtil.java:46) — applied to Spark
+      CharType; JDBC-read CHAR surfaces as plain StringType, so rtrim
+      those explicitly if the source column is CHAR-padded.
+    - postgres: floats are round(x::numeric, 10) — scale-10 numeric,
+      leading zero and trailing zeros KEPT (PostgresUtil.java:27;
+      same bytes as the 'spark' form). TIMESTAMP uses PG's default
+      text form: fractional seconds with trailing zeros trimmed and
+      the point dropped when zero ('12:00:00.5', '12:00:00'), no NULL
+      sentinel (no timestamp case in PostgresUtil — default rendering).
+      Binary is the bytea hex minus the '\\x' prefix, i.e. lowercase
+      hex (PostgresUtil.java:31).
     """
     if dialect not in DIALECTS:
         raise ValueError(f"unknown dialect {dialect!r}; one of {DIALECTS}")
     c = F.col(col) if isinstance(col, str) else col
-    if isinstance(dtype, T.StringType):
+    if isinstance(dtype, T.CharType):
+        # Oracle rtrims CHAR padding (OracleUtil.java:46); other
+        # dialects compare the padded form as-is
+        return F.rtrim(c) if dialect == "oracle" else c
+    if isinstance(dtype, (T.StringType, T.VarcharType)):
         return c
     if isinstance(dtype, T.BooleanType):
         return c.cast("int").cast("string")
@@ -96,17 +117,30 @@ def canon_column(col: Column | str, dtype: T.DataType, dialect: str = "spark") -
         if dialect == "mysql":
             # MySQL ROUND-to-char drops trailing zeros and a bare point
             return F.regexp_replace(fixed, r"\.?0+$", "")
-        if dialect == "opengauss":
+        if dialect in ("opengauss", "oracle"):
             # 'fm' numeric mask: no zero before the point for |x| < 1
             return F.regexp_replace(fixed, r"^(-?)0\.", r"$1.")
         return fixed
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if dialect == "oracle":
+            # seconds precision, no sentinel (NULL skipped by concat)
+            return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        if dialect == "postgres":
+            # PG text form trims trailing fraction zeros / a zero fraction
+            full = F.date_format(c, TIMESTAMP_FMT)
+            trimmed = F.regexp_replace(full, r"(\.\d*?)0+$", r"$1")
+            return F.regexp_replace(trimmed, r"\.$", "")
         return F.coalesce(F.date_format(c, TIMESTAMP_FMT), F.lit(NULL_DATE_SENTINEL))
     if isinstance(dtype, T.DateType):
         if dialect in ("mysql", "opengauss"):
             # both reference matrices push DATE through the datetime mask
             rendered = F.concat(F.date_format(c, DATE_FMT), F.lit(" 00:00:00.000000"))
             return F.coalesce(rendered, F.lit(NULL_DATE_SENTINEL))
+        if dialect == "oracle":
+            # Oracle DATE arrives as Types.TIMESTAMP -> seconds mask
+            return F.concat(F.date_format(c, DATE_FMT), F.lit(" 00:00:00"))
+        if dialect == "postgres":
+            return F.date_format(c, DATE_FMT)  # PG default text, no sentinel
         return F.coalesce(F.date_format(c, DATE_FMT), F.lit(NULL_DATE_SENTINEL))
     if isinstance(dtype, T.BinaryType):
         if dialect == "mysql":

@@ -26,6 +26,7 @@ import hashlib
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -215,6 +216,59 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     ).mapInPandas(kernel, schema=f"{id_col} {id_type}, simhash int")
 
 
+#: nibble value -> ±1 votes for its 4 bits (bit 0 first)
+_NIB_VOTES = np.array(
+    [[1 if (n >> b) & 1 else -1 for b in range(4)] for n in range(16)], dtype=np.int32
+)
+
+
+def simhash60_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash bigint) — 60-bit SimHash from ALL four bits of md5
+    nibbles 1-15, per-doc majority vote per bit (map-only kernel).
+
+    The SCALE sketch: at 60 bits the pigeonhole bands stay selective
+    (max_hamming=3 -> four 15-bit bands -> ~2^15-fold bucket shrink)
+    where the 16-bit portable sketch's bands degenerate to a few bits.
+    60 (not 64) keeps the value positive in a signed BIGINT on every
+    engine. Per-token digests are memoized per batch (token vocabulary
+    ≪ token count), votes accumulate vectorized.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            ids, vals = list(pdf["_id"]), []
+            for text in pdf["_text"]:
+                votes = np.zeros(60, dtype=np.int64)
+                for t in _py_tokens(text) or []:
+                    bits = memo.get(t)
+                    if bits is None:
+                        digest = _md5(t)
+                        nibs = np.fromiter(
+                            (int(c, 16) for c in digest[:15]), dtype=np.int64, count=15
+                        )
+                        bits = _NIB_VOTES[nibs].reshape(60)
+                        memo[t] = bits
+                    votes += bits
+                vals.append(int(sum(1 << k for k in range(60) if votes[k] > 0)))
+            yield pd.DataFrame({id_col: ids, "simhash": vals})
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(kernel, schema=f"{id_col} {id_type}, simhash long")
+
+
+def simhash60_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-ball near-dup pairs on the 60-bit SimHash — pigeonhole
+    banding with guaranteed recall AND scale-grade selectivity
+    (15-bit bands at the default h=3)."""
+    fp = simhash60_fingerprints(df, id_col, text_col)
+    return simhash_pairs_from_fingerprints(fp, id_col, max_hamming, n_bits=60)
+
+
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming on the SimHash
     fingerprint — GUARANTEED recall via pigeonhole banding.
@@ -235,7 +289,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: in
 
 
 def simhash_pairs_from_fingerprints(
-    fp: DataFrame, id_col: str, max_hamming: int
+    fp: DataFrame, id_col: str, max_hamming: int, n_bits: int = 16
 ) -> DataFrame:
     """Pigeonhole band join over a (id, simhash) fingerprint table —
     see :func:`simhash_near_dups` for the recall guarantee.
@@ -247,7 +301,7 @@ def simhash_pairs_from_fingerprints(
     the join output). One shuffle total (the band join itself).
     """
     n_bands = max_hamming + 1
-    bounds = [round(16 * b / n_bands) for b in range(n_bands + 1)]
+    bounds = [round(n_bits * b / n_bands) for b in range(n_bands + 1)]
 
     def band_val(col, b: int):
         lo, width = bounds[b], bounds[b + 1] - bounds[b]
@@ -330,6 +384,65 @@ def fingerprints(
     return df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).mapInPandas(kernel, schema=f"{id_col} {id_type}, fp string")
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Connected components over near-dup candidate pairs:
+    (doc_id, cluster) where cluster is the MINIMUM doc id reachable
+    through the pair graph — the canonical representative each
+    duplicate group keeps in a training-data dedup pipeline.
+
+    Hash-min label propagation with POINTER JUMPING: each round every
+    node takes the smallest label among itself and its neighbors (one
+    shuffle over (node, label) pairs, map-side combined), then jumps
+    through its own label's label (a labels-to-labels self-join) — the
+    classic doubling step, so convergence is O(log diameter) rounds,
+    not O(diameter). Each round is localCheckpoint'd: iterative
+    DataFrame algorithms otherwise stack lineage linearly and blow the
+    planner (on a cluster, use checkpoint() with a checkpoint dir —
+    same call shape). Node count, not edge count, bounds per-round
+    state, so this runs at 10^9-document scale. The driver loop only
+    reads a per-round convergence count.
+
+    Input: (id_a, id_b) pairs (any extra columns ignored). Output one
+    row per distinct doc id appearing in any pair.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    # label(u) starts as min(u, min neighbor) — the first propagation round
+    labels = edges.groupBy("u").agg(F.min("v").alias("lab"))
+    labels = labels.select("u", F.least("u", "lab").alias("lab")).localCheckpoint()
+    for _ in range(max_iterations):
+        # u's next label: min over neighbors' current labels and its own
+        neigh = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        nxt = labels.join(neigh, "u", "left").select(
+            "u", F.least("lab", F.coalesce("nlab", "lab")).alias("lab")
+        )
+        # pointer jump: follow lab -> lab(lab) (labels self-join)
+        jump = nxt.join(
+            nxt.select(F.col("u").alias("lab"), F.col("lab").alias("lab2")),
+            "lab",
+            "left",
+        ).select("u", F.least("lab", F.coalesce("lab2", "lab")).alias("lab"))
+        jump = jump.localCheckpoint()
+        changed = (
+            jump.join(labels.withColumnRenamed("lab", "old"), "u")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels = jump
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("doc_id"), F.col("lab").alias("cluster"))
 
 
 def ngram_jaccard_pairs(

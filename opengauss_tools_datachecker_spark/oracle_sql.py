@@ -73,10 +73,17 @@ SELECT o_orderkey, md5(concat_ws('', {_REF_PARTS})) AS md5_digest FROM orders
 # mysql drops trailing zeros and a bare point; opengauss 'fm' drops the
 # zero integer digit and keeps all 10 fractional digits
 def _canon_dialect(col: str, typ: str, dialect: str) -> str:
+    if typ == "ts" and dialect == "oracle":
+        # seconds mask, no sentinel (OracleUtil.java:38)
+        return f"strftime({col}, '%Y-%m-%d %H:%M:%S')"
+    if typ == "ts" and dialect == "postgres":
+        # PG default text: trailing fraction zeros trimmed, bare point dropped
+        full = f"strftime({col}, '%Y-%m-%d %H:%M:%S.%f')"
+        return f"regexp_replace(regexp_replace({full}, '(\\.\\d*?)0+$', '\\1'), '\\.$', '')"
     base = _canon(col, typ)
     if typ == "double" and dialect == "mysql":
         return f"regexp_replace({base}, '\\.?0+$', '')"
-    if typ == "double" and dialect == "opengauss":
+    if typ == "double" and dialect in ("opengauss", "oracle"):
         return f"regexp_replace({base}, '^(-?)0\\.', '\\1.')"
     return base
 
@@ -87,7 +94,7 @@ _DIALECT_LI = [
     ("l_returnflag", "str"), ("l_shipdate", "ts"),
 ]
 
-for _dialect in ("mysql", "opengauss"):
+for _dialect in ("mysql", "opengauss", "oracle", "postgres"):
     _parts = ", ".join(_canon_dialect(c, t, _dialect) for c, t in _DIALECT_LI)
     ORACLES[f"q_{_dialect}_md5"] = f"""
 SELECT l_orderkey, l_linenumber, md5(concat_ws('', {_parts})) AS md5_digest
@@ -178,6 +185,13 @@ ORACLES["q_len_histogram"] = """
 SELECT CAST(FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS INT) AS len_bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM documents GROUP BY 1
+"""
+
+ORACLES["q_len_percentiles"] = """
+SELECT source,
+       ROUND(q[1], 4) AS p50, ROUND(q[2], 4) AS p90, ROUND(q[3], 4) AS p99
+FROM (SELECT source, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q
+      FROM documents GROUP BY 1)
 """
 
 ORACLES["q_drift_chi2"] = """
@@ -282,6 +296,22 @@ SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM toks
 
 ORACLES["q_simhash"] = _simhash_sql()
 
+# Connected components over the LSH candidate pairs: recursive label
+# propagation — walk enumerates labels reachable through the pair
+# graph; min per node is the cluster representative (mirrors
+# dedup.dedup_clusters' hash-min fixpoint exactly).
+ORACLES["q_dedup_clusters"] = f"""
+WITH RECURSIVE cand AS ({_minhash_sql()}),
+edges AS (SELECT id_a AS u, id_b AS v FROM cand
+          UNION SELECT id_b, id_a FROM cand),
+walk(u, lab) AS (
+  SELECT u, u AS lab FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, w.lab FROM edges e JOIN walk w ON e.v = w.u
+)
+SELECT u AS doc_id, MIN(lab) AS cluster FROM walk GROUP BY u
+"""
+
 
 def _simhash_neardup_sql(max_hamming: int = 3) -> str:
     """dedup.simhash_near_dups' pigeonhole banding has GUARANTEED recall
@@ -301,6 +331,37 @@ WHERE hamming <= {max_hamming}
 
 
 ORACLES["q_simhash_neardup"] = _simhash_neardup_sql()
+
+
+def _simhash60_sql() -> str:
+    """60-bit SimHash twin: bit k = bit (k%4) of md5 nibble (k//4 + 1),
+    per-doc majority vote — mirrors dedup.simhash60_fingerprints."""
+    terms = []
+    for k in range(60):
+        j, b = k // 4 + 1, k % 4
+        bit = f"((strpos('0123456789abcdef', substr(md5(t), {j}, 1)) - 1) // {2 ** b}) % 2"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(w, t -> CASE WHEN {bit} = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN CAST({2 ** k} AS BIGINT) ELSE 0 END)"
+        )
+    expr = "\n     + ".join(terms)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents)
+SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM toks
+"""
+
+
+ORACLES["q_simhash60"] = _simhash60_sql()
+
+# guaranteed-recall banding => the oracle is the exact Hamming ball
+ORACLES["q_simhash60_neardup"] = f"""
+WITH fp AS ({_simhash60_sql()})
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3
+"""
 
 ORACLES["q_ngram_jaccard"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),

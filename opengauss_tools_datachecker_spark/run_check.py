@@ -45,7 +45,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--rules", default="all", help="comma list: sha256,uniqueness,referential,column_stats,drift")
     p.add_argument("--out", help="write violations parquet here")
-    p.add_argument("--format", default="parquet")
+    p.add_argument(
+        "--format", default="parquet",
+        help="parquet (default), iceberg, or jdbc (then --files/--manifest/... "
+        "are dbtable names resolved against --jdbc-url)",
+    )
+    p.add_argument("--jdbc-url", help="jdbc:<dialect>://host:port/db for --format jdbc")
+    p.add_argument("--jdbc-user")
+    p.add_argument(
+        "--jdbc-password-env", default=None,
+        help="NAME of the environment variable holding the password "
+        "(never the password itself on a command line)",
+    )
+    p.add_argument("--jdbc-fetch-size", type=int, default=None,
+                   help="override the per-dialect fetch default")
+    p.add_argument("--jdbc-session-init", help="e.g. 'SET NAMES utf8'")
+    p.add_argument("--jdbc-partition-column")
+    p.add_argument("--jdbc-lower-bound", type=int)
+    p.add_argument("--jdbc-upper-bound", type=int)
+    p.add_argument("--jdbc-num-partitions", type=int)
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
@@ -64,14 +82,39 @@ def main(argv: list[str] | None = None) -> int:
     from opengauss_tools_datachecker_spark.sources.catalog import read_table
 
     spark = get_spark(app_name="run_check", master=args.master)
+
+    def _read(location: str):
+        if args.format == "jdbc":
+            from opengauss_tools_datachecker_spark.sources.catalog import (
+                jdbc_reader_options,
+            )
+
+            if not args.jdbc_url:
+                raise ValueError("--format jdbc requires --jdbc-url")
+            password = (
+                os.environ.get(args.jdbc_password_env) if args.jdbc_password_env else None
+            )
+            opts = jdbc_reader_options(
+                url=args.jdbc_url,
+                table=location,
+                user=args.jdbc_user,
+                password=password,
+                fetch_size=args.jdbc_fetch_size,
+                session_init=args.jdbc_session_init,
+                partition_column=args.jdbc_partition_column,
+                lower_bound=args.jdbc_lower_bound,
+                upper_bound=args.jdbc_upper_bound,
+                num_partitions=args.jdbc_num_partitions,
+            )
+            return read_table(spark, fmt="jdbc", jdbc_options=opts)
+        return read_table(spark, location, args.format)
+
     try:
-        files = read_table(spark, args.files, args.format)
-        manifest = read_table(spark, args.manifest, args.format) if args.manifest else None
-        commits = read_table(spark, args.commits, args.format) if args.commits else None
-        baseline = read_table(spark, args.baseline, args.format) if args.baseline else None
-        baseline_cube = (
-            read_table(spark, args.baseline_cube, args.format) if args.baseline_cube else None
-        )
+        files = _read(args.files)
+        manifest = _read(args.manifest) if args.manifest else None
+        commits = _read(args.commits) if args.commits else None
+        baseline = _read(args.baseline) if args.baseline else None
+        baseline_cube = _read(args.baseline_cube) if args.baseline_cube else None
 
         wanted = (
             None if args.rules == "all" else {r.strip() for r in args.rules.split(",")}

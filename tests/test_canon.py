@@ -153,3 +153,34 @@ def test_dialect_digest_modes_differ_and_are_deterministic(spark):
 
     with pytest.raises(ValueError, match="unknown dialect"):
         canon_column("v", T.DoubleType(), dialect="oracle9i")
+
+
+def test_oracle_dialect_golden_strings(spark):
+    """OracleUtil.java:23,38,40,46 — 'fm' float mask, SECONDS-only
+    timestamps without a NULL sentinel, lowercase hex, CHAR rtrim."""
+    assert _render_d(spark, 0.5, T.DoubleType(), "oracle") == ".5000000000"
+    assert _render_d(spark, 25.0, T.DoubleType(), "oracle") == "25.0000000000"
+    ts = datetime.datetime(2024, 2, 29, 12, 34, 56, 789012)
+    assert _render_d(spark, ts, T.TimestampType(), "oracle") == "2024-02-29 12:34:56"
+    assert _render_d(spark, None, T.TimestampType(), "oracle") is None  # no nvl
+    assert _render_d(spark, b"\x1a\x2b\x00", T.BinaryType(), "oracle") == "1a2b00"
+    assert (
+        _render_d(spark, datetime.date(2024, 2, 29), T.DateType(), "oracle")
+        == "2024-02-29 00:00:00"
+    )
+
+
+def test_postgres_dialect_golden_strings(spark):
+    """PostgresUtil.java:27,31 + default timestamp text — scale-10
+    numeric floats; fraction zeros trimmed from timestamps."""
+    assert _render_d(spark, 0.5, T.DoubleType(), "postgres") == "0.5000000000"
+    t0 = datetime.datetime(2024, 2, 29, 12, 0, 10)
+    assert _render_d(spark, t0, T.TimestampType(), "postgres") == "2024-02-29 12:00:10"
+    t5 = datetime.datetime(2024, 2, 29, 12, 0, 0, 500000)
+    assert _render_d(spark, t5, T.TimestampType(), "postgres") == "2024-02-29 12:00:00.5"
+    t123 = datetime.datetime(2024, 2, 29, 12, 0, 0, 123400)
+    assert _render_d(spark, t123, T.TimestampType(), "postgres") == "2024-02-29 12:00:00.1234"
+    assert _render_d(spark, None, T.TimestampType(), "postgres") is None
+    assert (
+        _render_d(spark, datetime.date(2024, 2, 29), T.DateType(), "postgres") == "2024-02-29"
+    )

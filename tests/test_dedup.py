@@ -147,3 +147,64 @@ def test_verified_mode_prunes_before_shingle_join(spark, docs):
     # the optimized plan keeps LeftSemi joins below the shingle equi-join:
     # both self-join inputs are semi-filtered by the candidate doc-ids
     assert plan.count("LeftSemi") >= 2
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chain 1-2-3-4 collapses to one cluster labelled by its min id;
+    separate component {10,11} keeps its own; diameter > 1 exercises
+    the multi-round propagation."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (6, 5)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    n = 40  # diameter 40 ≫ one round — the fixpoint loop must iterate
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_simhash60_pigeonhole_recall(spark):
+    """60-bit sketch: seeded flips anywhere in the 60 bits (incl. the
+    top band) within h=3 are always found; > h excluded."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    base = 0x0123_4567_89AB_CDE
+    rows = [
+        (0, base),
+        (1, base ^ (0b111 << 57)),  # 3 bits in the TOP band
+        (2, base ^ 0b101),          # 2 low bits
+        (3, base ^ ((1 << 59) | 1)),  # extreme bits, hamming 2
+        (4, base ^ 0xFF),           # 8 bits - outside h=3
+    ]
+    rows += [(i, rng.randrange(1 << 60)) for i in range(5, 30)]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs_from_fingerprints(fp, "doc_id", 3, n_bits=60).collect()
+    }
+    exact = {
+        (a, b)
+        for (a, va), (b, vb) in itertools.combinations(rows, 2)
+        if bin(va ^ vb).count("1") <= 3
+    }
+    assert (0, 1) in exact and (0, 3) in exact
+    assert got == exact
+
+
+def test_simhash60_matches_spec_and_identical_text(spark):
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", "the quick brown fox"), ("c", None)],
+        "doc_id string, text string",
+    )
+    fps = {r.doc_id: r.simhash for r in dedup.simhash60_fingerprints(docs, "doc_id", "text").collect()}
+    assert fps["a"] == fps["b"]
+    assert 0 <= fps["a"] < 2**60
+    assert fps["c"] == 0  # NULL text -> zero votes, matching the SQL twin

@@ -58,3 +58,9 @@ def test_cli_error_exit_2(data):
     r = _run("--files", "/nonexistent/path", "--rules", "uniqueness")
     assert r.returncode == 2
     assert "ERROR" in r.stderr
+
+
+def test_cli_jdbc_requires_url(data):
+    r = _run("--files", "app.orders", "--format", "jdbc", "--rules", "uniqueness")
+    assert r.returncode == 2
+    assert "--jdbc-url" in r.stderr
