@@ -391,6 +391,42 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(cand)
 
 
+def q_top_tokens(spark, sf_dir):
+    """Vocabulary heavy hitters: top-5 tokens per lang by document
+    frequency (distinct per doc, so a token spamming one document
+    can't dominate). Explode -> partial-agg count -> per-group window
+    cut; ties break lexicographically for determinism."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.array_distinct(tx.tokens("text"))).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end training-corpus filter: quality gate + language gate +
+    exact dedup keeping the smallest doc_id per digest — the composed
+    keep-set a data pipeline actually materializes."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        tx.quality_score("text").alias("quality"),
+        F.round(tx.stopword_ratio(tx.tokens("text")), 6).alias("en_score"),
+        F.sha2("text", 256).alias("digest"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("en_score") > 0.03))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "quality", "en_score")
+    )
+
+
 def q_minhash_verified(spark, sf_dir):
     """Two-stage near-dup pipeline: MinHash-LSH candidates verified by
     exact shingle Jaccard (the production path — LSH prunes the pair
@@ -538,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_verified": q_minhash_verified,
         "q_catalog_scan": q_catalog_scan,
         "q_token_stats": q_token_stats,
+        "q_top_tokens": q_top_tokens,
+        "q_corpus_filter": q_corpus_filter,
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,

@@ -60,6 +60,8 @@ HEADLINE = [
     "q_minhash_verified",
     "q_catalog_scan",
     "q_token_stats",
+    "q_top_tokens",
+    "q_corpus_filter",
     "q_lang_id",
     "q_quality",
     "q_fingerprint",

@@ -409,6 +409,39 @@ SELECT doc_id, ROUND((
 FROM (SELECT doc_id, text, {_TOKS} AS w FROM documents)
 """
 
+ORACLES["q_top_tokens"] = f"""
+WITH tok AS (SELECT lang, unnest(list_distinct({_TOKS})) AS token FROM documents),
+c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1, 2),
+r AS (SELECT lang, token, df,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, token ASC) AS rnk
+      FROM c)
+SELECT lang, token, df, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5
+"""
+
+# quality + en_score fragments identical to q_quality / q_lang_id
+_QUALITY_EXPR = """ROUND((
+    (CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+  + (CASE WHEN CAST(length(text) AS DOUBLE) / GREATEST(len(w), 1) >= 2.0
+           AND CAST(length(text) AS DOUBLE) / GREATEST(len(w), 1) <= 12.0
+          THEN 1.0 ELSE 0.0 END)
+  + (1.0 - LEAST(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1) * 5.0, 1.0))
+) / 3.0, 6)"""
+
+ORACLES["q_corpus_filter"] = f"""
+WITH s AS (
+  SELECT doc_id, sha256(text) AS digest,
+         {_QUALITY_EXPR} AS quality,
+         ROUND(CAST(len(list_filter(w, t -> lower(t) IN ({_STOPLIST}))) AS DOUBLE)
+               / GREATEST(len(w), 1), 6) AS en_score
+  FROM (SELECT doc_id, text, {_TOKS} AS w FROM documents)),
+kept AS (SELECT * FROM s WHERE quality >= 0.5 AND en_score > 0.03),
+r AS (SELECT doc_id, quality, en_score,
+             ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      FROM kept)
+SELECT doc_id, quality, en_score FROM r WHERE rn = 1
+"""
+
 ORACLES["q_fingerprint"] = """
 SELECT doc_id,
        array_to_string(list_sort(list_transform(

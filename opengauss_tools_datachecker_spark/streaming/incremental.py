@@ -118,6 +118,39 @@ def running_repo_progress(
     )
 
 
+def running_lang_histogram(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-(bucket, lang) cumulative counts as
+    file rows stream in — the streaming half of the drift rule (N4).
+
+    ``applyInPandasWithState`` keyed by (bucket, value): state is one
+    running count per key (bounded by buckets x langs, safe
+    indefinitely); output mode "update" emits the refreshed histogram
+    rows each micro-batch in exactly the (bucket, value, n) shape
+    ``operators.drift.drift_verdicts`` consumes, so the BATCH drift
+    test runs unchanged over the live stream's latest state — one
+    code path for the statistics, batch or streaming.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = stream.select("bucket", F.col("lang").alias("value"))
+
+    def fold(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"bucket": [key[0]], "value": [key[1]], "n": [n]})
+
+    return keyed.groupBy("bucket", "value").applyInPandasWithState(
+        fold,
+        outputStructType="bucket int, value string, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_rates(
     events_stream: DataFrame,
     window: str = "5 minutes",

@@ -124,3 +124,53 @@ def test_incremental_replay_is_idempotent(spark, small_files, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_running_lang_histogram_matches_batch_and_feeds_drift(spark, small_files, tmp_path):
+    """The streaming histogram's final state equals the batch groupBy,
+    and feeding it to the batch drift operator yields identical
+    verdicts — one statistics code path for both modes."""
+    from opengauss_tools_datachecker_spark.operators.drift import (
+        categorical_histogram,
+        drift_verdicts,
+    )
+    from opengauss_tools_datachecker_spark.streaming.incremental import (
+        running_lang_histogram,
+    )
+
+    src = str(tmp_path / "files")
+    small_files.write.parquet(src)
+    stream = spark.readStream.schema(small_files.schema).parquet(src)
+    q = (
+        running_lang_histogram(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lang_hist")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # latest state per key (update mode may emit a key several times)
+    got = {
+        (r.bucket, r.value): r.n
+        for r in spark.sql(
+            "SELECT bucket, value, MAX(n) AS n FROM lang_hist GROUP BY 1, 2"
+        ).collect()
+    }
+    batch_hist = categorical_histogram(small_files.withColumnRenamed("lang", "value"),
+                                       "value")
+    want = {(r.bucket, r.value): r.n for r in batch_hist.collect()}
+    assert got == want
+
+    stream_hist = spark.createDataFrame(
+        [(b, v, n) for (b, v), n in got.items()], "bucket int, value string, n long"
+    )
+    v_stream = {
+        (r.bucket, r.drifted)
+        for r in drift_verdicts(stream_hist, test="chi2", alpha=0.01).collect()
+    }
+    v_batch = {
+        (r.bucket, r.drifted)
+        for r in drift_verdicts(batch_hist, test="chi2", alpha=0.01).collect()
+    }
+    assert v_stream == v_batch
