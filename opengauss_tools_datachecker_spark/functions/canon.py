@@ -17,7 +17,18 @@ Canonical forms (design notes):
 - float / double / dec  -> fixed 10 fractional digits via
   ``cast(decimal(38,10)) -> string`` — the Spark analog of
   ``round(convert(col,char),10)`` (MysqlUtil.java:25,49-52) and
-  ``to_char(col,'fm...0000000000')`` (OpenGaussUtil.java:38,64-68)
+  ``to_char(col,'fm...0000000000')`` (OpenGaussUtil.java:38,64-68).
+  CROSS-ENGINE PARITY ENVELOPE (measured vs DuckDB, round 2): Spark
+  converts a double to decimal via its SHORTEST decimal
+  representation, while DuckDB/Postgres expand the exact binary
+  value — the two agree at 10 fractional digits iff
+  ulp(|x|) * 10^10 < 0.5, i.e. |x| ≲ 3.4e5 for decimal-authored
+  values. Above that the 10th digit can differ (e.g. -85512742.6665
+  renders ...6665000000 in Spark vs ...6665000064 in DuckDB). This is
+  precisely the silent-divergence class the reference's per-dialect
+  float masks exist for: when checking a real migration, canonicalize
+  with the SOURCE database's own renderer (the ``dialect=`` matrices),
+  never by re-rendering the binary value on another engine.
 - timestamp / date      -> ``yyyy-MM-dd HH:mm:ss.SSSSSS`` /
   ``yyyy-MM-dd``, NULL -> sentinel ``0000-00-00 00:00:00`` mirroring
   MysqlUtil.java:33,63-65 (the sentinel prevents the concat_ws
