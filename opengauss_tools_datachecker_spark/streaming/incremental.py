@@ -151,6 +151,48 @@ def running_lang_histogram(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_exact_dedup(stream: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """First-occurrence exact dedup over a document stream: emits
+    (digest, doc_id) ONCE per distinct sha256(content), as it first
+    arrives — the streaming counterpart of ``dedup.exact_duplicates``
+    for ingest-time filtering.
+
+    ``applyInPandasWithState`` keyed by digest: state is a single
+    emitted flag + winner id; within the first batch that carries a
+    digest the smallest id wins (deterministic), later batches emit
+    nothing. State grows with DISTINCT digests — for an unbounded
+    ingest, production bounds it with a state TTL
+    (``GroupStateTimeout.ProcessingTimeTimeout``) after the dedup
+    horizon, or pre-filters with a broadcast Bloom filter of the
+    historical digest set; the operator shape is unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = stream.select(
+        F.sha2(F.col(text_col), 256).alias("digest"), F.col(id_col).alias("_id")
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf["_id"].min()
+                best = m if best is None else min(best, m)
+        if best is None or state.exists:
+            return
+        state.update((int(best),))
+        yield pd.DataFrame({"digest": [key[0]], "doc_id": [int(best)]})
+
+    return keyed.groupBy("digest").applyInPandasWithState(
+        fold,
+        outputStructType="digest string, doc_id long",
+        stateStructType="winner long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_rates(
     events_stream: DataFrame,
     window: str = "5 minutes",

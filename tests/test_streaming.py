@@ -174,3 +174,36 @@ def test_running_lang_histogram_matches_batch_and_feeds_drift(spark, small_files
         for r in drift_verdicts(batch_hist, test="chi2", alpha=0.01).collect()
     }
     assert v_stream == v_batch
+
+
+def test_streaming_exact_dedup_first_occurrence(spark, small_files, tmp_path):
+    from pyspark.sql import functions as F
+
+    from opengauss_tools_datachecker_spark.streaming.incremental import (
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs")
+    base = small_files.select("file_id", "content").limit(50)
+    dup = base.select((F.col("file_id") + 1000).alias("file_id"), "content")
+    base.unionByName(dup).write.parquet(src)
+
+    stream = spark.readStream.schema("file_id long, content string").parquet(src)
+    q = (
+        streaming_exact_dedup(stream, "file_id", "content")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: all duplicates of batch one -> emits nothing
+    base.select((F.col("file_id") + 2000).alias("file_id"), "content").write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(rows) == 50                         # one per distinct digest
+    assert all(r.doc_id < 1000 for r in rows)      # smallest id won, batch 1
