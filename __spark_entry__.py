@@ -515,6 +515,20 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_frame_features(spark, sf_dir):
+    """Video frame-sampling + per-frame decode (stubbed codec): one row
+    per sampled frame with rounded per-dimension features. Fully
+    oracled — asset metadata and the stub decode are sha256-derived."""
+    d = _t(spark, sf_dir, "documents")
+    assets = mm.assets_from_documents(d)
+    feats = mm.frame_features(assets, every_ms=5000, feature_dim=4)
+    return feats.select(
+        "asset_id",
+        "frame_ms",
+        *[F.round(F.col("features")[k].cast("double"), 6).alias(f"f{k}") for k in range(4)],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship N5: sha256 manifest check over a documents-derived snapshot
     with seeded corruption — the reference's whole pipeline as one query."""
@@ -586,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_multimodal_features": q_multimodal_features,
+        "q_frame_features": q_frame_features,
     }
 
 

@@ -72,6 +72,7 @@ HEADLINE = [
     "q_embedding_neardup",
     "q_embedding_neardup_lsh",
     "q_multimodal_features",
+    "q_frame_features",
 ]
 
 

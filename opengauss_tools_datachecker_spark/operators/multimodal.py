@@ -33,19 +33,28 @@ ASSET_SCHEMA = (
 
 def assets_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Wrap documents as opaque binary assets (test harness for the
-    multimodal path — payload = utf-8 bytes, metadata synthesized)."""
+    multimodal path — payload = utf-8 bytes, metadata synthesized).
+
+    Metadata derives from sha256(id) hex substrings (not xxhash64), so
+    kind/width/height/duration are reproducible on ANY engine — the
+    frame-sampling and decode queries get full DuckDB oracles."""
+    h = F.sha2(F.col(id_col).cast("string"), 256)
+
+    def hex_int(start: int, width: int) -> F.Column:
+        return F.conv(F.substring(h, start, width), 16, 10).cast("int")
+
     return docs.select(
         F.col(id_col).alias("asset_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64(id_col), F.lit(3)) + 1).cast("int"),
+            (hex_int(1, 2) % 3) + 1,
         ).alias("kind"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.struct(
             F.lit("raw").alias("format"),
-            F.pmod(F.xxhash64(id_col, F.lit(1)), F.lit(1920)).cast("int").alias("width"),
-            F.pmod(F.xxhash64(id_col, F.lit(2)), F.lit(1080)).cast("int").alias("height"),
-            F.pmod(F.xxhash64(id_col, F.lit(3)), F.lit(60000)).cast("int").alias("duration_ms"),
+            (hex_int(3, 4) % 1920).alias("width"),
+            (hex_int(7, 4) % 1080).alias("height"),
+            (hex_int(11, 6) % 60000).alias("duration_ms"),
         ).alias("meta"),
     )
 
@@ -97,6 +106,43 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ms"),
+    )
+
+
+def frame_features(
+    assets: DataFrame, every_ms: int = 1000, feature_dim: int = 4, strict: bool = False
+) -> DataFrame:
+    """Per-frame decode for video assets: sample timestamps
+    (:func:`sample_frames`), join each frame back to its payload, and
+    extract a per-frame feature vector in an Arrow-batched kernel —
+    (asset_id, frame_ms, features array<float>).
+
+    The frame 'decode' is the stubbed kernel keyed by
+    (payload, frame_ms), deterministic and engine-reproducible. Scale
+    shape: the metadata-only frame table is built WITHOUT payloads
+    (rows, not bytes), and payload bytes enter exactly one join whose
+    output feeds the map-only kernel — payloads are never shuffled
+    more than once and never leave the kernel.
+    """
+    frames = sample_frames(assets, every_ms)
+    joined = frames.join(assets.select("asset_id", "payload"), "asset_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(
+                    (bytes(p) if p is not None else b"") + b"@" + str(int(ms)).encode(),
+                    feature_dim,
+                    strict,
+                ).tolist()
+                for p, ms in zip(pdf["payload"], pdf["frame_ms"])
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "frame_ms": pdf["frame_ms"], "features": feats}
+            )
+
+    return joined.mapInPandas(
+        extract, schema="asset_id long, frame_ms long, features array<float>"
     )
 
 

@@ -660,3 +660,40 @@ FROM d
 
 
 ORACLES["q_multimodal_features"] = _multimodal_sql()
+
+
+def _frame_features_sql(every_ms: int = 5000, n: int = 4) -> str:
+    """Mirror of multimodal.sample_frames + frame_features over
+    sha256-derived asset metadata: kind index 2 = 'video', duration =
+    hex[11:16] % 60000, frames every `every_ms` from 0 through
+    duration-1 inclusive (DuckDB range() is stop-exclusive, hence +1),
+    per-frame digest = sha256(payload || '@' || frame_ms)."""
+    hexv = "strpos('0123456789abcdef', substr(fh, {pos}, 1)) - 1"
+    cols = []
+    for k in range(n):
+        hi = hexv.format(pos=2 * k + 1)
+        lo = hexv.format(pos=2 * k + 2)
+        cols.append(
+            f"ROUND(CAST(CAST((({hi}) * 16 + ({lo})) / 255.0 AS REAL) AS DOUBLE), 6) AS f{k}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, COALESCE(text, '') AS payload,
+         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) % 3 AS kidx,
+         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 11, 6) AS INT) % 60000
+           AS duration_ms
+  FROM documents),
+f AS (SELECT asset_id, payload,
+             unnest(range(0, GREATEST(duration_ms - 1, 0) + 1, {every_ms})) AS frame_ms
+      FROM a WHERE kidx = 2),
+d AS (SELECT asset_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+             sha256(payload || '@' || CAST(frame_ms AS VARCHAR)) AS fh
+      FROM f)
+SELECT asset_id, frame_ms,
+       {sel}
+FROM d
+"""
+
+
+ORACLES["q_frame_features"] = _frame_features_sql()
