@@ -515,6 +515,42 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks): each purchase event joined to
+    the user's latest prior-or-simultaneous error event — union-tag +
+    window carry-forward, one shuffle, no range-join explosion. Oracle:
+    DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql.window import Window
+
+    from opengauss_tools_datachecker_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("amount")
+    )
+    # unique right rows per (user, ts): max event_id wins exact ties
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("error_id"))
+    )
+    joined = asof_join(
+        purchases, errors, on="ts", by=["user_id"], value_cols=["error_id"]
+    )
+    return joined.select("event_id", "user_id", "amount", "error_id_asof")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization rollup (30-minute gap): per-session
+    event count, bounds, and value total."""
+    from opengauss_tools_datachecker_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, by="user_id", ts_col="ts", value_col="value", gap_minutes=30)
+
+
 def q_frame_features(spark, sf_dir):
     """Video frame-sampling + per-frame decode (stubbed codec): one row
     per sampled frame with rounded per-dimension features. Fully
@@ -601,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_multimodal_features": q_multimodal_features,
         "q_frame_features": q_frame_features,
+        "q_asof_join": q_asof_join,
+        "q_sessionize": q_sessionize,
     }
 
 

@@ -73,6 +73,8 @@ HEADLINE = [
     "q_embedding_neardup_lsh",
     "q_multimodal_features",
     "q_frame_features",
+    "q_asof_join",
+    "q_sessionize",
 ]
 
 

@@ -697,3 +697,36 @@ FROM d
 
 
 ORACLES["q_frame_features"] = _frame_features_sql()
+
+# as-of join: DuckDB's native ASOF LEFT JOIN vs the engine's union-tag
+# + window carry-forward — same backward-inclusive semantics
+ORACLES["q_asof_join"] = """
+WITH p AS (SELECT event_id, user_id, ts, ROUND(value, 2) AS amount
+           FROM events WHERE event_type = 'purchase'),
+e AS (SELECT user_id, ts, event_id AS error_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'error')
+      WHERE rn = 1)
+SELECT p.event_id, p.user_id, p.amount, e.error_id AS error_id_asof
+FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+ORACLES["q_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+FROM s GROUP BY 1, 2
+"""
