@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_spark.functions.canon import row_checksum
 from opengauss_tools_datachecker_spark.functions import text as tx
-from opengauss_tools_datachecker_spark.operators import ann, dedup
+from opengauss_tools_datachecker_spark.operators import ann, contamination as ctm, dedup
 from opengauss_tools_datachecker_spark.operators.checksum import (
     multiset_diff,
     recover_rows,
@@ -290,6 +290,19 @@ def q_drift_ks(spark, sf_dir):
     return v.select("bucket", F.round("statistic", 4).alias("ks_stat"), "drifted")
 
 
+def q_drift_psi(spark, sf_dir):
+    """N4 extension: Population Stability Index per source-bucket vs
+    rest-of-table over the lang histogram — the monitoring-dashboard
+    drift score alongside the chi²/KS hypothesis tests. Same
+    histogram-first plan; pandas sees only histogram rows."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.substring("source", 4, 10).cast("int")
+    )
+    hist = categorical_histogram(d, "lang", by="bucket")
+    v = drift_verdicts(hist, test="psi")
+    return v.select("bucket", F.round("statistic", 4).alias("psi"), "drifted")
+
+
 def q_len_percentiles(spark, sf_dir):
     """N1 extension: exact interpolated percentiles of content length
     per source (Spark `percentile`, not approx — the DuckDB twin is
@@ -329,6 +342,40 @@ def q_simhash(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment by md5(doc_id) prefix —
+    map-only, shuffle-free, stable under corpus growth and engine
+    changes (the DuckDB twin computes the identical hex compare)."""
+    d = _t(spark, sf_dir, "documents")
+    return ctm.hash_split(d, "doc_id").select("doc_id", "split")
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination: held-out (hash-split test) docs
+    sharing ≥2 distinct 3-gram shingles with a train doc, after the
+    document-frequency stop-gram guard (train shingles in >50 docs are
+    boilerplate and dropped before the join)."""
+    d = _t(spark, sf_dir, "documents")
+    s = ctm.hash_split(d, "doc_id")
+    train = s.filter(F.col("split") == "train")
+    ev = s.filter(F.col("split") == "test")
+    return ctm.ngram_contamination(
+        train, ev, "doc_id", "text", shingle_n=3, min_overlap=2, max_shingle_df=50
+    )
+
+
+def q_decontam_keep(spark, sf_dir):
+    """The decontaminated train keep-list: train ids anti-joined against
+    the contaminated side of q_contamination."""
+    d = _t(spark, sf_dir, "documents")
+    s = ctm.hash_split(d, "doc_id")
+    train = s.filter(F.col("split") == "train")
+    ev = s.filter(F.col("split") == "test")
+    return ctm.decontaminated_train_ids(
+        train, ev, "doc_id", "text", shingle_n=3, min_overlap=2, max_shingle_df=50
+    )
 
 
 def q_simhash60(spark, sf_dir):
@@ -613,6 +660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_len_percentiles": q_len_percentiles,
         "q_drift_chi2": q_drift_chi2,
         "q_drift_ks": q_drift_ks,
+        "q_drift_psi": q_drift_psi,
+        "q_hash_split": q_hash_split,
+        "q_contamination": q_contamination,
+        "q_decontam_keep": q_decontam_keep,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_bands": q_minhash_bands,
         "q_dedup_clusters": q_dedup_clusters,

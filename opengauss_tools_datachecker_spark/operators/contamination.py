@@ -1,0 +1,136 @@
+"""Train/eval split assignment and cross-corpus contamination checks.
+
+Training-data extensions (build brief): before training, a corpus is
+split into train/validation/test partitions, and the training side must
+be screened for benchmark/eval contamination — documents that share long
+n-grams with the held-out set leak evaluation answers into training.
+No reference analog (the reference validates one table pair at a time);
+these compose the engine's shingle machinery into the two standard
+pipeline stages.
+
+Scale design (10^9+ documents):
+- hash_split is a pure map: one md5 per row, no shuffle, no state. The
+  assignment is a deterministic function of the document id (+ salt), so
+  it is stable across runs, cluster sizes, and engines — re-running the
+  pipeline never migrates a document between splits (the property that
+  keeps eval sets honest as the corpus grows).
+- ngram_contamination shuffles (shingle, doc_id) pairs — docs × shingles
+  rows per side, the same shape as the Jaccard verifier's shingle join.
+  Hot shingles (boilerplate that appears in a large fraction of the
+  train corpus) would densify the join quadratically; `max_shingle_df`
+  drops train shingles above a document-frequency cap BEFORE the join
+  (the standard stop-gram guard in decontamination pipelines — a shingle
+  shared by half the corpus carries no leak signal). The DF cap is
+  computed with one extra groupBy over the train shingle rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.operators.dedup import distinct_shingle_rows
+
+#: md5-prefix space: assignments compare the first 8 hex chars (32 bits)
+_PREFIX_SPACE = 16**8
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, cumulative-threshold-hex) pairs, insertion order, for
+    :func:`hash_split`. Fractions must sum to 1 (±1e-9). The final
+    split's threshold is clamped to the full space so rounding can
+    never leave an unassigned sliver."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    names = list(splits)
+    for name in names:
+        cum += splits[name]
+        bound = _PREFIX_SPACE if name == names[-1] else int(cum * _PREFIX_SPACE)
+        out.append((name, f"{min(bound, _PREFIX_SPACE):09x}"))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-hash of the id.
+
+    Adds ``out_col``: the split whose cumulative-fraction interval
+    contains ``md5(salt || id)``'s 8-hex-char prefix (lexicographic
+    compare on fixed-width lowercase hex == numeric compare on the
+    uniform 32-bit value). Map-only, shuffle-free, engine-portable
+    (DuckDB's md5 produces the same hex), and stable under corpus
+    growth: a document's split never changes when rows are added or
+    the job is re-partitioned. ``salt`` derives independent splits
+    from the same ids (e.g. per-epoch held-out rotations).
+    """
+    if splits is None:
+        splits = {"test": 0.10, "valid": 0.10, "train": 0.80}
+    prefix = F.lpad(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 9, "0")
+    pairs = split_thresholds(splits)
+    expr = F.lit(pairs[-1][0])
+    for name, bound in reversed(pairs[:-1]):
+        expr = F.when(prefix < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(eval_id, train_id, n_overlap) — held-out documents sharing at
+    least ``min_overlap`` distinct word ``shingle_n``-grams with a
+    training document (decontamination candidates).
+
+    Both sides reduce to distinct (doc, shingle) rows via the Arrow
+    shingle kernel, then equi-join on the shingle string — eval corpora
+    are orders of magnitude smaller than train, so the aggregated join
+    output is bounded by eval's size times its per-doc match count.
+    ``max_shingle_df`` drops train shingles whose train document
+    frequency exceeds the cap before the join (boilerplate guard; the
+    dropped grams carry no leak signal and would otherwise fan out
+    quadratically).
+    """
+    tr = distinct_shingle_rows(train, id_col, text_col, shingle_n)
+    ev = distinct_shingle_rows(eval_, id_col, text_col, shingle_n)
+    if max_shingle_df is not None:
+        dfreq = tr.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        tr = tr.join(dfreq.filter(F.col("_df") <= max_shingle_df), "sh").drop("_df")
+    return (
+        ev.select(F.col("doc_id").alias("eval_id"), "sh")
+        .join(tr.select(F.col("doc_id").alias("train_id"), "sh"), "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def decontaminated_train_ids(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Train ids surviving decontamination: the anti-join of the train
+    corpus against the contaminated train side of
+    :func:`ngram_contamination` — the keep-list a pipeline feeds to the
+    tokenizer."""
+    pairs = ngram_contamination(
+        train, eval_, id_col, text_col, shingle_n, min_overlap, max_shingle_df
+    )
+    dirty = pairs.select(F.col("train_id").alias(id_col)).distinct()
+    return train.select(id_col).join(dirty, id_col, "left_anti")

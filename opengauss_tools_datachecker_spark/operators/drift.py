@@ -94,15 +94,35 @@ def _ks_from_histograms(obs: np.ndarray, ref: np.ndarray) -> tuple[float, float,
     return d, n1, n2
 
 
+#: PSI zero-bin smoothing floor (industry convention: clamp empty-bin
+#: proportions rather than drop the bin, so one-sided mass is penalized)
+PSI_EPS = 1e-6
+
+
+def _psi_from_histograms(obs: np.ndarray, ref: np.ndarray) -> float:
+    """Population Stability Index over aligned category counts:
+    Σ (p−q)·ln(p/q) with proportions floored at PSI_EPS."""
+    n1, n2 = obs.sum(), ref.sum()
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    p = np.maximum(obs / n1, PSI_EPS)
+    q = np.maximum(ref / n2, PSI_EPS)
+    return float(((p - q) * np.log(p / q)).sum())
+
+
 def drift_verdicts(
     per_bucket_hist: DataFrame,
     reference_hist: DataFrame | None = None,
     test: str = "chi2",
     alpha: float = 0.01,
     numeric_order: bool = False,
+    psi_threshold: float = 0.2,
 ) -> DataFrame:
-    """Per-bucket two-sample drift test. Output: (bucket, statistic,
-    threshold, drifted).
+    """Per-bucket two-sample drift test (``test`` ∈ chi2 | ks | psi).
+    Output: (bucket, statistic, threshold, drifted).
+
+    PSI has no sampling distribution; its threshold is the standard
+    rule-of-thumb scale (0.1 watch, 0.2 act) via ``psi_threshold``.
 
     Input histograms are (bucket, value, n). With ``reference_hist``
     (the baseline snapshot's per-bucket histogram — the normal mode:
@@ -152,6 +172,9 @@ def drift_verdicts(
                 if n1 > 0 and n2 > 0
                 else float("inf")
             )
+        elif test == "psi":
+            stat = _psi_from_histograms(obs, ref)
+            thr = psi_threshold
         else:
             raise ValueError(f"unknown test {test}")
         return pd.DataFrame(

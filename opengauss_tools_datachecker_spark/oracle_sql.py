@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from opengauss_tools_datachecker_spark.functions.text import EN_STOPWORDS
 from opengauss_tools_datachecker_spark.operators.ann import hyperplanes, ivf_centroids
+from opengauss_tools_datachecker_spark.operators.contamination import split_thresholds
 
 # ---- canon fragments ----------------------------------------------------
 
@@ -248,6 +249,27 @@ SELECT bucket, ROUND(stat, 4) AS ks_stat,
 FROM d
 """
 
+# PSI over the lang histogram, bucket vs rest-of-table — mirrors
+# drift_verdicts(test='psi') exactly: per-bucket groups contain only
+# that bucket's categories, proportions floored at PSI_EPS=1e-6,
+# threshold the 0.2 rule-of-thumb (operators/drift.py _psi_from_histograms).
+ORACLES["q_drift_psi"] = """
+WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket, lang,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT lang, SUM(n) AS nt FROM h GROUP BY 1),
+cells AS (SELECT h.bucket, CAST(h.n AS DOUBLE) AS obs,
+                 CAST(tot.nt - h.n AS DOUBLE) AS ref
+          FROM h JOIN tot USING (lang)),
+sums AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2 FROM cells GROUP BY 1),
+stat AS (SELECT c.bucket,
+                SUM((GREATEST(c.obs / s.n1, 0.000001) - GREATEST(c.ref / s.n2, 0.000001))
+                    * LN(GREATEST(c.obs / s.n1, 0.000001)
+                         / GREATEST(c.ref / s.n2, 0.000001))) AS st
+         FROM cells c JOIN sums s ON c.bucket = s.bucket GROUP BY 1)
+SELECT bucket, ROUND(st, 4) AS psi, st > 0.2 AS drifted FROM stat
+"""
+
 ORACLES["q_dedup_exact"] = """
 SELECT sha256(text) AS digest, CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS rep_doc
@@ -377,6 +399,51 @@ SELECT * FROM (
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b)
 WHERE jaccard >= 0.8
+"""
+
+# ---- train/eval split + contamination (operators/contamination.py) ----
+# Thresholds come from the SAME helper the Spark operator uses, so the
+# cumulative-fraction hex bounds agree by construction; the md5-prefix
+# compare is engine-portable (fixed-width lowercase hex).
+
+_SPLIT_T = dict(split_thresholds({"test": 0.10, "valid": 0.10, "train": 0.80}))
+_P8 = "lpad(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), 9, '0')"
+
+ORACLES["q_hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN p < '{_SPLIT_T["test"]}' THEN 'test'
+            WHEN p < '{_SPLIT_T["valid"]}' THEN 'valid'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, {_P8} AS p FROM documents)
+"""
+
+# shared CTE chain: hash-split sides -> distinct shingles -> DF-capped
+# train shingles -> overlap pair counts (mirrors ngram_contamination
+# with shingle_n=3, max_shingle_df=50)
+_CONTAM_CTES = f"""
+sp AS (SELECT doc_id, text, {_P8} AS p FROM documents),
+tr_toks AS (SELECT doc_id, {_TOKS} AS w FROM sp WHERE p >= '{_SPLIT_T["valid"]}'),
+ev_toks AS (SELECT doc_id, {_TOKS} AS w FROM sp WHERE p < '{_SPLIT_T["test"]}'),
+tr0 AS (SELECT doc_id, unnest(list_distinct({_shingle3()})) AS sh
+        FROM tr_toks WHERE len(w) >= 3),
+keep AS (SELECT sh FROM tr0 GROUP BY sh HAVING COUNT(*) <= 50),
+tr AS (SELECT tr0.doc_id, tr0.sh FROM tr0 JOIN keep USING (sh)),
+ev AS (SELECT doc_id, unnest(list_distinct({_shingle3()})) AS sh
+       FROM ev_toks WHERE len(w) >= 3),
+pairs AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_overlap
+          FROM ev JOIN tr USING (sh) GROUP BY 1, 2)
+"""
+
+ORACLES["q_contamination"] = f"""
+WITH {_CONTAM_CTES}
+SELECT eval_id, train_id, n_overlap FROM pairs WHERE n_overlap >= 2
+"""
+
+ORACLES["q_decontam_keep"] = f"""
+WITH {_CONTAM_CTES}
+SELECT doc_id FROM tr_toks
+WHERE doc_id NOT IN (SELECT train_id FROM pairs WHERE n_overlap >= 2)
 """
 
 ORACLES["q_token_stats"] = f"""

@@ -1,0 +1,110 @@
+"""Train/eval hash split + n-gram contamination (operators/contamination)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from opengauss_tools_datachecker_spark.operators.contamination import (
+    decontaminated_train_ids,
+    hash_split,
+    ngram_contamination,
+    split_thresholds,
+)
+
+
+def _prefix(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:8].rjust(9, "0")
+
+
+def test_split_thresholds_cover_space_and_validate():
+    t = split_thresholds({"test": 0.10, "valid": 0.10, "train": 0.80})
+    assert [name for name, _ in t] == ["test", "valid", "train"]
+    # final bound is the clamped full space: no unassigned sliver
+    assert t[-1][1] == f"{16**8:09x}"
+    assert t[0][1] < t[1][1] < t[2][1]
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})
+
+
+def test_hash_split_matches_python_md5_and_is_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    bounds = split_thresholds({"test": 0.10, "valid": 0.10, "train": 0.80})
+    for i in [0, 1, 7, 42, 999, 1999]:
+        p = _prefix(str(i))
+        expect = next(name for name, b in bounds if p < b)
+        assert got[i] == expect, i
+    # deterministic: a second run assigns identically
+    again = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    assert got == again
+    # fractions land near the targets (md5 uniformity)
+    n = len(got)
+    frac_test = sum(1 for v in got.values() if v == "test") / n
+    assert 0.06 < frac_test < 0.14
+
+
+def test_hash_split_is_map_only(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = hash_split(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_salt_derives_independent_split(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", salt="s2").collect()}
+    assert a != b  # some docs move between splits under a new salt
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        Row(doc_id=1, text=leak),  # train, leaked
+        Row(doc_id=2, text="completely unrelated training text about spark shuffles"),
+        Row(doc_id=3, text=leak + " extra trailing words here"),  # train, leaked too
+        Row(doc_id=4, text="another clean training document body"),
+    ]
+    evals = [
+        Row(doc_id=100, text="prefix words then " + leak),  # contaminated
+        Row(doc_id=101, text="nothing in common with anything at all"),
+    ]
+    return spark.createDataFrame(rows), spark.createDataFrame(evals)
+
+
+def test_contamination_finds_leaked_docs(corpus):
+    train, ev = corpus
+    pairs = {
+        (r["eval_id"], r["train_id"]): r["n_overlap"]
+        for r in ngram_contamination(train, ev, "doc_id", "text", min_overlap=2).collect()
+    }
+    assert (100, 1) in pairs and (100, 3) in pairs
+    assert all(eid != 101 for eid, _ in pairs)
+    # doc 1 is a 10-token doc fully inside eval 100: 8 shared 3-grams
+    assert pairs[(100, 1)] == 8
+
+
+def test_contamination_df_cap_drops_boilerplate(spark, corpus):
+    _, ev = corpus
+    # the leaked shingles appear in 3 train docs -> cap of 2 drops them
+    boiler = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler) for i in range(1, 4)]
+    )
+    with_cap = ngram_contamination(
+        train, ev, "doc_id", "text", min_overlap=2, max_shingle_df=2
+    ).count()
+    without = ngram_contamination(train, ev, "doc_id", "text", min_overlap=2).count()
+    assert without == 3 and with_cap == 0
+
+
+def test_decontaminated_keep_list(corpus):
+    train, ev = corpus
+    keep = {
+        r["doc_id"]
+        for r in decontaminated_train_ids(train, ev, "doc_id", "text", min_overlap=2).collect()
+    }
+    assert keep == {2, 4}

@@ -122,6 +122,34 @@ def test_stretch_len_caught_by_ks(spark, small_files, base):
     assert [r["bucket"] for r in v.collect()] == [5]
 
 
+def test_psi_zero_on_identical_and_positive_on_shift(spark):
+    """PSI: identical histograms score ~0; a shifted bucket crosses the
+    0.2 rule-of-thumb; value matches the numpy definition."""
+    import math
+
+    from opengauss_tools_datachecker_spark.operators.drift import drift_verdicts
+
+    rows = [
+        # bucket 1 matches its reference exactly
+        (1, "a", 50, 50), (1, "b", 50, 50),
+        # bucket 2 inverts the mix
+        (2, "a", 90, 10), (2, "b", 10, 90),
+    ]
+    obs = spark.createDataFrame(
+        [(b, v, n) for b, v, n, _ in rows], "bucket int, value string, n long"
+    )
+    ref = spark.createDataFrame(
+        [(b, v, n) for b, v, _, n in rows], "bucket int, value string, n long"
+    )
+    got = {
+        r["bucket"]: (r["statistic"], r["drifted"])
+        for r in drift_verdicts(obs, ref, test="psi").collect()
+    }
+    assert got[1] == (0.0, False)
+    expect = 2 * (0.9 - 0.1) * math.log(0.9 / 0.1)
+    assert abs(got[2][0] - expect) < 1e-12 and got[2][1]
+
+
 def test_permutation_invariance(spark, small_files, base):
     """Repartition/shuffle of the input must not change verdicts."""
     corrupted, _ = fx.flip_bytes(small_files, 0.02)
