@@ -208,6 +208,73 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _probe_cells_kernel(
+    df: DataFrame, id_col: str, vec_col: str, cents: list[list[float]], nprobe: int
+) -> DataFrame:
+    """(id, _cell) rows — each vector's ``nprobe`` nearest cells via the
+    Arrow kernel. Bit-identical to :func:`ivf_assign` /
+    :func:`ivf_probe_cells`: the centroid dots replay the HOF fold in
+    index order (``_fold_gram``) and ties break to the lower cell id
+    ((score desc, cell asc), matching the struct compare). The Catalyst
+    forms stay as the engine-portable SPEC; this kernel exists because
+    HOF lambdas evaluate interpreted — n_centroids × dim elements per
+    row (~10µs each) versus one C-speed matmul-shaped fold per batch."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    C = np.array(cents, dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["_qv"].tolist(), dtype=np.float64)
+            S = _fold_gram(Q, C)
+            ids, cells = [], []
+            cell_ids = np.arange(C.shape[0])
+            for i, qid in enumerate(pdf["_qid"]):
+                order = np.lexsort((cell_ids, -S[i]))[:nprobe]
+                ids.extend([qid] * len(order))
+                cells.extend(int(c) for c in order)
+            yield pd.DataFrame({id_col: ids, "_cell": cells})
+
+    return df.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).mapInPandas(kernel, schema=f"{id_col} {id_type}, _cell int")
+
+
+def _lsh_buckets_kernel(
+    df: DataFrame, id_col: str, vec_col: str, plane_sets: list[tuple[str, list[list[float]]]]
+) -> DataFrame:
+    """(id, _b) rows — one sign-LSH bucket string per (doc, plane set),
+    computed in the Arrow kernel. Bit-identical to :func:`lsh_bucket`
+    (bit = fold-order dot ≥ 0); ``plane_sets`` is [(prefix, planes)],
+    the prefix tagging multi-table buckets ("t0:…")."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    mats = [(prefix, np.array(planes, dtype=np.float64)) for prefix, planes in plane_sets]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["_qv"].tolist(), dtype=np.float64)
+            ids, buckets = [], []
+            per_set = []
+            for prefix, P in mats:
+                S = _fold_gram(Q, P)  # n_rows × n_planes, fold order
+                bits = S >= 0
+                per_set.append(
+                    (prefix, ["".join("1" if b else "0" for b in row) for row in bits])
+                )
+            for i, qid in enumerate(pdf["_qid"]):
+                for prefix, strs in per_set:
+                    ids.append(qid)
+                    buckets.append(prefix + strs[i])
+            yield pd.DataFrame({id_col: ids, "_b": buckets})
+
+    return df.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    ).mapInPandas(kernel, schema=f"{id_col} {id_type}, _b string")
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -233,23 +300,21 @@ def lsh_topk(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    vec = F.col(vec_col)
-    bucket_cols = [
-        F.concat(F.lit(f"t{t}:"), lsh_bucket(vec, hyperplanes(dim, n_planes, seed=f"lsh{t}")))
-        for t in range(n_tables)
+    plane_sets = [
+        (f"t{t}:", hyperplanes(dim, n_planes, seed=f"lsh{t}")) for t in range(n_tables)
     ]
-    bucketed = df.select(
-        F.col(id_col),
-        F.explode(F.array(*bucket_cols)).alias("_b"),
+    bucketed = _lsh_buckets_kernel(df, id_col, vec_col, plane_sets)
+    probes = bucketed.select(F.col(id_col).alias("query_id"), F.col("_b").alias("_cell"))
+    assigned = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_b").alias("_cell")
     )
-    a = bucketed.select(F.col(id_col).alias("query_id"), "_b")
-    b = bucketed.select(F.col(id_col).alias("neighbor_id"), "_b")
-    pairs = (
-        a.join(b, "_b")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # a pair sharing buckets in several tables is scored once per shared
+    # bucket — the fold is bit-identical each time, so the dedup keeps
+    # an arbitrary copy safely (post-selection rows, far fewer than
+    # pre-scoring candidate pairs)
+    raw = _score_cells_blocked(df, probes, assigned, id_col, vec_col, k).dropDuplicates(
+        ["query_id", "neighbor_id"]
     )
-    raw = _score_pairs_join(pairs, df, id_col, vec_col)
     scored = raw.select("query_id", "neighbor_id", F.round("_raw", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -307,6 +372,84 @@ def ivf_probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> C
     return F.transform(top, lambda t: (-t["nj"]).cast("int"))
 
 
+def _score_cells_blocked(
+    vectors: DataFrame,
+    probes: DataFrame,
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_query_blocks: int = 8,
+    selection_margin: int = 32,
+) -> DataFrame:
+    """Block-local IVF scoring: instead of joining vectors onto every
+    candidate PAIR (each vector shipped once per pair — ~cell-size
+    copies), group by (cell, query-block) and compute the in-cell gram
+    matrix per group. Each vector crosses Arrow once per probe (queries)
+    or once per query-block (neighbors) — orders of magnitude less
+    transfer than per-pair, and the dominant cost at any scale.
+
+    Per group each query keeps its top (k + margin) candidates by RAW
+    score, widened to every raw tie at the boundary — the same
+    exactness-preserving preselection as :func:`brute_force_topk`; the
+    authoritative (round desc, neighbor asc) ranking runs in Spark
+    downstream. Dots replay the HOF fold (``_fold_gram``), so scores
+    are bit-identical to :func:`_score_pairs_join`.
+
+    ``probes``: (query_id, _cell) rows (a query appears once per probed
+    cell); ``assigned``: (neighbor_id, _cell). With one cell per vector
+    (IVF) a pair arises in at most one group; multi-table callers (LSH)
+    dedup the output — duplicate emissions carry bit-identical scores.
+    Query blocks bound group width so a hot cell splits across
+    executors.
+    """
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    take = k + selection_margin
+    vv = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    qb = F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_query_blocks)).cast("int")
+    qside = (
+        probes.select(F.col("query_id").alias("_id"), "_cell")
+        .join(vv, "_id")
+        .select("_id", "_cell", qb.alias("_qb"), "_v", F.lit(1).alias("_isq"))
+    )
+    blocks = vectors.sparkSession.range(n_query_blocks).select(
+        F.col("id").cast("int").alias("_qb")
+    )
+    nside = (
+        assigned.select(F.col("neighbor_id").alias("_id"), "_cell")
+        .join(vv, "_id")
+        .crossJoin(F.broadcast(blocks))
+        .select("_id", "_cell", "_qb", "_v", F.lit(0).alias("_isq"))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        isq = pdf["_isq"].to_numpy() == 1
+        if not isq.any() or isq.all():
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "_raw": []})
+        qp, np_ = pdf[isq], pdf[~isq]
+        Q = np.array(qp["_v"].tolist(), dtype=np.float64)
+        Nm = np.array(np_["_v"].tolist(), dtype=np.float64)
+        nids = np_["_id"].to_numpy()
+        sims = _fold_gram(Q, Nm) / np.outer(_fold_norms(Q), _fold_norms(Nm))
+        out_q, out_n, out_s = [], [], []
+        for i, qid in enumerate(qp["_id"].to_numpy()):
+            row = sims[i]
+            cand = np.flatnonzero(nids != qid)
+            if len(cand) > take:
+                sel = cand[np.argpartition(-row[cand], take)[:take]]
+                cutoff = row[sel].min()
+                cand = cand[row[cand] >= cutoff]
+            out_q.extend([qid] * len(cand))
+            out_n.extend(nids[cand])
+            out_s.extend(row[cand])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "_raw": out_s})
+
+    both = qside.unionByName(nside)
+    return both.groupBy("_cell", "_qb").applyInPandas(
+        kernel, schema=f"query_id {id_type}, neighbor_id {id_type}, _raw double"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -334,20 +477,18 @@ def ivf_topk(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     cents = ivf_centroids(dim, n_centroids, seed)
-    vec = F.col(vec_col)
-    assigned = df.select(F.col(id_col), ivf_assign(vec, cents).alias("_cell"))
+    assigned = _probe_cells_kernel(df, id_col, vec_col, cents, nprobe=1)
     if nprobe <= 1:
-        a = assigned.select(F.col(id_col).alias("query_id"), "_cell")
+        probes = assigned.withColumnRenamed(id_col, "query_id")
     else:
-        a = df.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(ivf_probe_cells(vec, cents, nprobe)).alias("_cell"),
+        probes = _probe_cells_kernel(df, id_col, vec_col, cents, nprobe).withColumnRenamed(
+            id_col, "query_id"
         )
-    b = assigned.select(F.col(id_col).alias("neighbor_id"), "_cell")
     # corpus vectors live in exactly one cell, so a (query, neighbor)
-    # pair arises from at most one probed cell — no dedup needed
-    pairs = a.join(b, "_cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    raw = _score_pairs_join(pairs, df, id_col, vec_col)
+    # pair arises from at most one (cell, query-block) group — no dedup
+    raw = _score_cells_blocked(
+        df, probes, assigned.withColumnRenamed(id_col, "neighbor_id"), id_col, vec_col, k
+    )
     scored = raw.select("query_id", "neighbor_id", F.round("_raw", 6).alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -407,7 +548,7 @@ def near_dup_embeddings(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes)
-    bucketed = df.select(F.col(id_col), lsh_bucket(F.col(vec_col), planes).alias("_b"))
+    bucketed = _lsh_buckets_kernel(df, id_col, vec_col, [("", planes)])
     a = bucketed.select(F.col(id_col).alias("query_id"), "_b")
     b = bucketed.select(F.col(id_col).alias("neighbor_id"), "_b")
     pairs = a.join(b, "_b").filter(F.col("query_id") < F.col("neighbor_id"))
