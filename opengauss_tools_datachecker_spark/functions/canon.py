@@ -126,21 +126,34 @@ def canon_column(col: Column | str, dtype: T.DataType, dialect: str = "spark") -
         # fixed 10 fractional digits, HALF_UP — cross-dialect stable
         fixed = c.cast(T.DecimalType(38, 10)).cast("string")
         if dialect == "mysql":
-            # MySQL ROUND-to-char drops trailing zeros and a bare point
-            return F.regexp_replace(fixed, r"\.?0+$", "")
+            # MySQL ROUND-to-char drops trailing zeros and a bare point.
+            # The render always ends in ".DDDDDDDDDD", so two rtrims are
+            # byte-equivalent to regexp_replace(r"\.?0+$") — the dot
+            # blocks the zero-trim from ever reaching integer digits —
+            # and run in codegen at a fraction of the regex cost
+            return F.rtrim(F.rtrim(fixed, F.lit("0")), F.lit("."))
         if dialect in ("opengauss", "oracle"):
             # 'fm' numeric mask: no zero before the point for |x| < 1
-            return F.regexp_replace(fixed, r"^(-?)0\.", r"$1.")
+            # (anchored prefix swap — cheap startswith, not a regex)
+            return (
+                F.when(fixed.startswith("0."), F.substring(fixed, 2, 2**31 - 1))
+                .when(
+                    fixed.startswith("-0."),
+                    F.concat(F.lit("-"), F.substring(fixed, 3, 2**31 - 1)),
+                )
+                .otherwise(fixed)
+            )
         return fixed
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         if dialect == "oracle":
             # seconds precision, no sentinel (NULL skipped by concat)
             return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
         if dialect == "postgres":
-            # PG text form trims trailing fraction zeros / a zero fraction
+            # PG text form trims trailing fraction zeros / a zero
+            # fraction; the render ends in ".SSSSSS" so the same
+            # dot-blocked double rtrim applies (see the mysql float case)
             full = F.date_format(c, TIMESTAMP_FMT)
-            trimmed = F.regexp_replace(full, r"(\.\d*?)0+$", r"$1")
-            return F.regexp_replace(trimmed, r"\.$", "")
+            return F.rtrim(F.rtrim(full, F.lit("0")), F.lit("."))
         return F.coalesce(F.date_format(c, TIMESTAMP_FMT), F.lit(NULL_DATE_SENTINEL))
     if isinstance(dtype, T.DateType):
         if dialect in ("mysql", "opengauss"):
