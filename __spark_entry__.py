@@ -612,6 +612,70 @@ def q_frame_features(spark, sf_dir):
     )
 
 
+def q_outliers(spark, sf_dir):
+    """N7: robust per-row outliers — events whose value sits outside
+    median ± 3·1.4826·MAD of their event_type. Exact percentiles here
+    (the engine rule's scale path is approx_percentile); the oracle is
+    DuckDB's native median()/mad() over the same groups."""
+    from opengauss_tools_datachecker_spark.operators.outliers import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    flagged = robust_outliers(ev, "value", by=["event_type"], k=3.0)
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental-validation primitive: key-level added/removed/modified
+    classification between two snapshots (narrow digest projections, one
+    full-outer key join — no payload bytes shuffled). The oracle is
+    INDEPENDENT: it predicts the change set straight from the seeded
+    perturbation rule rather than replaying digests."""
+    from opengauss_tools_datachecker_spark.operators.checksum import snapshot_diff
+
+    old = _t(spark, sf_dir, "documents")
+    removed = F.col("doc_id") % 101 == 0
+    modified = F.col("doc_id") % 97 == 0
+    added = old.filter(F.col("doc_id") % 103 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    new = (
+        old.filter(~removed)
+        .withColumn(
+            "text", F.when(modified, F.concat(F.lit("X"), F.col("text"))).otherwise(F.col("text"))
+        )
+        .unionByName(added)
+    )
+    return snapshot_diff(old, new, key_cols=["doc_id"], value_cols=["text", "lang", "source"])
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling by md5(doc_id) prefix: keep 10%
+    of 'en', 60% of 'de', 25% of everything else — reproducible on any
+    engine / partitioning (the DuckDB twin computes the identical hex
+    compare), unlike seed-and-partitioning-dependent df.sample()."""
+    from opengauss_tools_datachecker_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "doc_id", "lang", rates={"en": 0.10, "de": 0.60}, default_rate=0.25
+    )
+    return kept.select("doc_id", "lang")
+
+
+def q_repetition(spark, sf_dir):
+    """Within-doc repetition quality signal: duplicate 3-gram ratio per
+    document (Gopher-style rep filter) — counts from the Arrow kernel,
+    ratio left to Catalyst so the float math matches the oracle's."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.repetition_stats(d, "doc_id", "text", ngram_n=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship N5: sha256 manifest check over a documents-derived snapshot
     with seeded corruption — the reference's whole pipeline as one query."""
@@ -690,6 +754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_features": q_frame_features,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
+        "q_outliers": q_outliers,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_sample_stratified": q_sample_stratified,
+        "q_repetition": q_repetition,
     }
 
 

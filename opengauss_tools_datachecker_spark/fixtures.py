@@ -186,6 +186,22 @@ def orphan_commits(files: DataFrame, frac: float, seed: int = 7) -> tuple[DataFr
     return corrupted, corrupted.filter(sel).select("repo", "commit").distinct()
 
 
+def inflate_rows(
+    files: DataFrame, frac: float, factor: int = 40, seed: int = 7
+) -> tuple[DataFrame, DataFrame]:
+    """Blow up content length of ~frac rows → numeric-outlier rule (N7).
+
+    Too few rows to move the bucket's KS histogram (drift stays PASS),
+    but each inflated row sits far outside the robust median±k·MAD band.
+    """
+    sel = _select(frac, seed, "inflate")
+    inflated = F.concat_ws(" ", *[F.col("content")] * factor)
+    corrupted = files.withColumn(
+        "content", F.when(sel, inflated).otherwise(F.col("content"))
+    )
+    return corrupted, files.filter(sel).select(*KEY_COLS)
+
+
 def skew_lang(files: DataFrame, bucket: int) -> DataFrame:
     """In one bucket, collapse the lang distribution → drift rule (N4, chi²)."""
     return files.withColumn(

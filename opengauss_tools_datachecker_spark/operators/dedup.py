@@ -120,6 +120,44 @@ def minhash_signatures(
     ).mapInPandas(kernel, schema=f"{id_col} {id_type}, {mh_schema}")
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram_n: int = 3
+) -> DataFrame:
+    """Within-document repetition: (id, n_grams, n_distinct, dup_ratio).
+
+    The Gopher-style repetitious-text quality signal: dup_ratio =
+    1 - distinct/total word n-grams — boilerplate, template spam, and
+    degenerate generations score high. Map-only Arrow kernel (same
+    tokenizer mirror as the dedup sketches); docs too short to form a
+    single n-gram are dropped, NULL text ⇒ NULL token array ⇒ dropped.
+    The kernel emits only the integer counts; the ratio (and its
+    rounding) is left to Catalyst so the float math runs through the
+    same IEEE ops as the DuckDB twin (list_distinct over the same
+    shingles) — hash-identical output.
+    """
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, total, uniq = [], [], []
+            for i, text in zip(pdf["_id"], pdf["_text"]):
+                sh = _py_shingles(_py_tokens(text), ngram_n)
+                if not sh:
+                    continue
+                ids.append(i)
+                total.append(len(sh))
+                uniq.append(len(set(sh)))
+            yield pd.DataFrame({id_col: ids, "n_grams": total, "n_distinct": uniq})
+
+    counts = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, n_grams int, n_distinct int"
+    )
+    return counts.withColumn(
+        "dup_ratio",
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams"), 6),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,

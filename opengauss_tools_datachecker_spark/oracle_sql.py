@@ -797,3 +797,68 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
 FROM s GROUP BY 1, 2
 """
+
+# ---- robust outliers (operators/outliers.py) ----
+# DuckDB's median()/mad() are the same linear-interpolated exact
+# percentiles as Spark's F.percentile(·, 0.5); the filter compares the
+# UNROUNDED doubles on both engines, output rounding is display-only.
+
+ORACLES["q_outliers"] = """
+WITH stats AS (
+  SELECT event_type,
+         median(CAST(value AS DOUBLE)) AS med,
+         mad(CAST(value AS DOUBLE)) AS mad
+  FROM events GROUP BY 1)
+SELECT event_id, e.event_type,
+       ROUND(CAST(value AS DOUBLE), 6) AS value,
+       ROUND(med, 6) AS med, ROUND(mad, 6) AS mad
+FROM events e JOIN stats s USING (event_type)
+WHERE abs(CAST(value AS DOUBLE) - med) > 3.0 * 1.4826 * mad
+"""
+
+# ---- snapshot diff (operators/checksum.py snapshot_diff) ----
+# INDEPENDENT oracle: predicts the change set straight from the seeded
+# perturbation rule in q_snapshot_diff instead of replaying digests —
+# a doc divisible by 103 re-appears under id+10M ('added'); by 101 it
+# is dropped ('removed'); by 97 (and surviving) its text is prefixed
+# ('modified' — unless text is NULL, where concat('X', NULL) = NULL
+# leaves the sentinel digest unchanged).
+
+ORACLES["q_snapshot_diff"] = """
+SELECT doc_id + 10000000 AS doc_id, 'added' AS change
+FROM documents WHERE doc_id % 103 = 0
+UNION ALL
+SELECT doc_id, 'removed' FROM documents WHERE doc_id % 101 = 0
+UNION ALL
+SELECT doc_id, 'modified' FROM documents
+WHERE doc_id % 97 = 0 AND doc_id % 101 <> 0 AND text IS NOT NULL
+"""
+
+# ---- deterministic stratified sampling (operators/sampling.py) ----
+# Membership is an md5-prefix compare — engine-portable by construction;
+# the hex bounds come from the SAME rate_bound helper the operator uses.
+
+from opengauss_tools_datachecker_spark.operators.sampling import rate_bound as _rb
+
+_SAMPLE_P9 = "lpad(substr(md5(concat('sample', CAST(doc_id AS VARCHAR))), 1, 8), 9, '0')"
+
+ORACLES["q_sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SAMPLE_P9} <
+  CASE WHEN lang = 'en' THEN '{_rb(0.10)}'
+       WHEN lang = 'de' THEN '{_rb(0.60)}'
+       ELSE '{_rb(0.25)}' END
+"""
+
+# ---- within-doc repetition (operators/dedup.py repetition_stats) ----
+# Same tokenizer + 3-gram chain as the dedup oracles; counts are exact
+# integers, the ratio runs the identical (1.0 - double/int) IEEE ops.
+
+ORACLES["q_repetition"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_shingle3()} AS s FROM toks WHERE len(w) >= 3)
+SELECT doc_id, CAST(len(s) AS INT) AS n_grams,
+       CAST(len(list_distinct(s)) AS INT) AS n_distinct,
+       ROUND(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 6) AS dup_ratio
+FROM sh
+"""

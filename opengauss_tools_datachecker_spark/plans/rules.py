@@ -343,6 +343,61 @@ class DriftRule:
         return out
 
 
+class NumericOutlierRule:
+    """N7 (extension): per-row robust outliers on content length.
+
+    Drift (N4) flags a bucket whose whole histogram moved; this rule
+    flags the individual rows whose length is outside a median ± k
+    * 1.4826 * MAD band for their bucket — a truncated or inflated file
+    that leaves the bucket distribution statistically intact. Opt-in:
+    applicable only when ``params['outlier_k']`` is set, because a
+    robust band on organic long-tailed data legitimately contains
+    outliers — the operator is a screen, the user picks the bound.
+
+    Stats aggregate to one row per bucket and broadcast back (two scans
+    of the cached narrow projection, zero shuffles on the flagging
+    side). ``params['outlier_approx']`` switches to the single-pass
+    approx_percentile sketch for the 10^12-row scan.
+    """
+
+    rule_id = "numeric_outlier"
+    version = "1"
+
+    @staticmethod
+    def applicable(ctx: CheckContext) -> bool:
+        return ctx.params.get("outlier_k") is not None
+
+    def check(self, ctx: CheckContext) -> DataFrame:
+        from opengauss_tools_datachecker_spark.operators.outliers import (
+            MAD_SIGMA,
+            robust_outliers,
+        )
+
+        files = ctx.files_with_bucket()
+        length = (
+            F.col("content_len") if "content_len" in files.columns else F.length("content")
+        )
+        k = float(ctx.params["outlier_k"])
+        flagged = robust_outliers(
+            files.select(*KEY_COLS, "bucket", length.alias("_len")),
+            "_len",
+            by=["bucket"],
+            k=k,
+            approx=bool(ctx.params.get("outlier_approx", False)),
+        )
+        return flagged.select(
+            F.lit(self.rule_id).alias("rule_id"),
+            F.col("bucket"),
+            key_expr(*KEY_COLS).alias("key"),
+            F.col("_len").cast("string").alias("observed"),
+            F.concat_ws(
+                "..",
+                F.round(F.col("med") - F.lit(k * MAD_SIGMA) * F.col("mad"), 2).cast("string"),
+                F.round(F.col("med") + F.lit(k * MAD_SIGMA) * F.col("mad"), 2).cast("string"),
+            ).alias("expected"),
+        )
+
+
 ALL_RULES = [
     SchemaRule(),
     ContentSha256Rule(),
@@ -350,4 +405,5 @@ ALL_RULES = [
     ReferentialRule(),
     ColumnStatsRule(),
     DriftRule(),
+    NumericOutlierRule(),
 ]

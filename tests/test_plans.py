@@ -79,7 +79,10 @@ def test_no_row_python_in_any_rule(spark, parquet_files, small_files):
         commits=fx.repo_commits(small_files),
         baseline=small_files,
         n_buckets=8,
-        params={"merkle": False},  # keep the plan fully lazy for inspection
+        # merkle off keeps the plan fully lazy for inspection; outlier_k
+        # opts the (otherwise-inapplicable) outlier rule in so its plan
+        # is inspected too
+        params={"merkle": False, "outlier_k": 3.0},
     )
     for rule in ALL_RULES:
         plan = _plan(rule.check(ctx))

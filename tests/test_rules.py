@@ -15,6 +15,7 @@ from opengauss_tools_datachecker_spark.plans.rules import (
     ColumnStatsRule,
     ContentSha256Rule,
     DriftRule,
+    NumericOutlierRule,
     ReferentialRule,
     UniquenessRule,
 )
@@ -49,8 +50,13 @@ def test_clean_input_all_pass(spark, small_files, base):
     result = run_suite(_ctx(spark, small_files, base, baseline=small_files))
     assert not result.failed
     assert result.violations.count() == 0
-    # schema rule is inapplicable without an expected_schema contract
-    n_data_rules = len(ALL_RULES) - 1
+    # opt-in rules (schema without a contract, outlier without outlier_k)
+    # are skipped entirely — count the applicable ones
+    ctx = _ctx(spark, small_files, base, baseline=small_files)
+    n_data_rules = sum(
+        1 for r in ALL_RULES if getattr(r, "applicable", lambda _: True)(ctx)
+    )
+    assert n_data_rules == len(ALL_RULES) - 2
     assert len(result.verdicts) == 8 * n_data_rules
 
 
@@ -120,6 +126,26 @@ def test_stretch_len_caught_by_ks(spark, small_files, base):
         _ctx(spark, corrupted, base, baseline=small_files)
     ).filter("key like 'len_ks%'")
     assert [r["bucket"] for r in v.collect()] == [5]
+
+
+def test_inflate_rows_caught_by_outlier_rule(spark, small_files, base):
+    corrupted, expected = fx.inflate_rows(small_files, 0.01, factor=40)
+    exp = {"|".join([r.repo, r.path, r.commit]) for r in expected.collect()}
+    assert exp
+    # exact percentiles and the approx_percentile sketch both flag every
+    # injected row — the robust band cannot be dragged up by the
+    # outliers themselves (the mean/stddev failure mode)
+    for approx in (False, True):
+        v = NumericOutlierRule().check(
+            _ctx(spark, corrupted, base, outlier_k=3.0, outlier_approx=approx)
+        )
+        assert exp <= _keys(v)
+
+
+def test_outlier_rule_opt_in(spark, small_files, base):
+    ctx = _ctx(spark, small_files, base)
+    assert not NumericOutlierRule.applicable(ctx)
+    assert NumericOutlierRule.applicable(_ctx(spark, small_files, base, outlier_k=4.0))
 
 
 def test_psi_zero_on_identical_and_positive_on_shift(spark):
