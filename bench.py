@@ -49,6 +49,10 @@ HEADLINE = [
     "q_len_percentiles",
     "q_drift_chi2",
     "q_drift_ks",
+    "q_drift_psi",
+    "q_hash_split",
+    "q_contamination",
+    "q_decontam_keep",
     "q_dedup_exact",
     "q_minhash_bands",
     "q_dedup_clusters",
@@ -75,6 +79,10 @@ HEADLINE = [
     "q_frame_features",
     "q_asof_join",
     "q_sessionize",
+    "q_outliers",
+    "q_snapshot_diff",
+    "q_sample_stratified",
+    "q_repetition",
 ]
 
 
