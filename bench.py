@@ -39,6 +39,7 @@ HEADLINE = [
     "q_checksum_symdiff",
     "q_multiset_diff",
     "q_violation_recovery",
+    "q_column_diff",
     "q_referential_orphans",
     "q_uniqueness_dups",
     "q_column_stats",
@@ -68,7 +69,10 @@ HEADLINE = [
     "q_corpus_filter",
     "q_lang_id",
     "q_quality",
+    "q_secrets",
+    "q_pii_scrub",
     "q_fingerprint",
+    "q_embedding_quality",
     "q_embedding_topk",
     "q_ann_lsh",
     "q_ann_ivf",

@@ -224,3 +224,27 @@ def null_storm(files: DataFrame, column: str, frac: float, seed: int = 7) -> tup
         column, F.when(sel, F.lit(None).cast("string")).otherwise(F.col(column))
     )
     return corrupted, corrupted.filter(sel).select(*KEY_COLS)
+
+
+def leak_secrets(files: DataFrame, frac: float, seed: int = 7) -> tuple[DataFrame, DataFrame]:
+    """Append a fake AWS access key to *frac* of rows' content.
+
+    Returns (corrupted files, the injected rows) — the expectation set
+    for SecretsRule, same contract as the other injectors. The key is
+    derived deterministically from the row key (16 base-36-ish chars
+    from its hash rendered into the AKIA alphabet via upper(hex));
+    hex only covers [0-9A-F] which is inside [0-9A-Z], so the token
+    always matches the aws_key pattern.
+    """
+    sel = _select(frac, seed, "leak_secrets")
+    token = F.concat(
+        F.lit("AKIA"),
+        F.upper(F.substring(F.sha2(F.concat_ws("/", "repo", "path", "commit"), 256), 1, 16)),
+    )
+    corrupted = files.withColumn(
+        "content",
+        F.when(sel, F.concat(F.col("content"), F.lit("\naws_secret = "), token)).otherwise(
+            F.col("content")
+        ),
+    )
+    return corrupted, files.filter(sel)

@@ -105,3 +105,52 @@ def doc_fingerprint(toks: Column, n: int = 5, keep: int = 3) -> Column:
     sh = shingles(toks, n)
     hashed = F.transform(sh, lambda s: F.md5(s))
     return F.concat_ws("", F.slice(F.array_sort(hashed), 1, keep))
+
+
+# PII patterns — the ASCII subset that Java regex (Spark) and RE2
+# (DuckDB) interpret identically: no lookarounds, no unicode classes.
+# Redaction applies in list order (emails first, so an IP-looking
+# domain is consumed by the email pattern, never double-redacted).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+]
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-pattern match counts, aliased ``n_<name>`` — codegen
+    ``regexp_count``, shuffle-free (NULL text ⇒ NULL counts)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [F.regexp_count(c, F.lit(pat)).alias(f"n_{name}") for name, pat in PII_PATTERNS]
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace every PII match with ``<NAME>`` — chained codegen
+    ``regexp_replace`` in PII_PATTERNS order. A training-data scrub
+    pass is this projection plus a rewrite of the text column; at
+    100 TB it is a pure map with zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c
+
+
+# Credential/secret patterns — fixed-prefix token shapes with near-zero
+# false-positive rates (the gitleaks/trufflehog default family), in the
+# same Java-regex/RE2-common ASCII subset as PII_PATTERNS.
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("gh_token", r"ghp_[A-Za-z0-9]{36}"),
+    ("slack_token", r"xox[baprs]-[A-Za-z0-9-]{10,}"),
+]
+
+
+def secret_counts(text: Column | str) -> list[Column]:
+    """Per-pattern secret match counts, aliased ``n_<name>`` — codegen
+    ``regexp_count``, shuffle-free."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}") for name, pat in SECRET_PATTERNS
+    ]

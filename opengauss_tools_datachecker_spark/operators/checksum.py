@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from opengauss_tools_datachecker_spark.functions.canon import row_checksum
+from opengauss_tools_datachecker_spark.functions.canon import canon_column, row_checksum
 
 
 def checksum_table(
@@ -125,6 +125,70 @@ def snapshot_diff(
         .when(F.col("_digest_new").isNull(), F.lit("removed"))
         .otherwise(F.lit("modified"))
         .alias("change"),
+    )
+
+
+def column_diff(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | None = None,
+    dialect: str = "spark",
+) -> DataFrame:
+    """Localize WHICH columns differ for keys present on both sides.
+
+    The reference stops at recovering whole mismatched rows
+    (GaussRecordComparer.java:121-140) and leaves the user to eyeball
+    the column; this emits ``key_cols + (column_name, source_value,
+    target_value)``, one row per differing column, values rendered
+    through the same canon matrix the digests use
+    (functions/canon.canon_column) — so a column "differs" exactly
+    when it changes the row digest, never more, never less. Keys
+    present on only one side are :func:`snapshot_diff`'s domain
+    (added/removed); this operator classifies the 'modified' set.
+
+    Plan shape (100 TB): each side is a narrow map-side projection of
+    keys + canon strings, ONE inner shuffle join on the keys
+    (storage-partitioned/shuffle-free when both sides are bucketed by
+    the key, sources/layout.py), a codegen any-differs filter drops
+    the equal rows, and only then does ``stack`` unpivot — the
+    explode runs on O(mismatched rows), not O(table).
+    """
+    value_cols = value_cols or [
+        c for c in source.columns if c not in key_cols and c in set(target.columns)
+    ]
+    src_types = {f.name: f.dataType for f in source.schema.fields}
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    a = source.select(
+        *key_cols,
+        *[
+            canon_column(c, src_types[c], dialect=dialect).alias(f"_a_{c}")
+            for c in value_cols
+        ],
+    )
+    b = target.select(
+        *key_cols,
+        *[
+            canon_column(c, tgt_types[c], dialect=dialect).alias(f"_b_{c}")
+            for c in value_cols
+        ],
+    )
+    joined = a.join(b, key_cols, "inner")
+    any_differs = None
+    for c in value_cols:
+        d = ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        any_differs = d if any_differs is None else (any_differs | d)
+    stack_args = ", ".join(
+        f"'{c}', `_a_{c}`, `_b_{c}`" for c in value_cols
+    )
+    unpivot = F.expr(
+        f"stack({len(value_cols)}, {stack_args}) AS "
+        "(column_name, source_value, target_value)"
+    )
+    return (
+        joined.filter(any_differs)
+        .select(*key_cols, unpivot)
+        .filter(~F.col("source_value").eqNullSafe(F.col("target_value")))
     )
 
 

@@ -63,7 +63,12 @@ class CheckContext:
         return self.files.withColumn("bucket", bucket_of("repo", self.n_buckets))
 
 
-def prepare_files(files: DataFrame, n_buckets: int, with_digest: bool = True) -> DataFrame:
+def prepare_files(
+    files: DataFrame,
+    n_buckets: int,
+    with_digest: bool = True,
+    secret_scan: bool = False,
+) -> DataFrame:
     """Narrow pre-projection shared by the whole rule suite.
 
     ``content`` is by far the widest column; every rule needs only its
@@ -95,6 +100,14 @@ def prepare_files(files: DataFrame, n_buckets: int, with_digest: bool = True) ->
     ]
     if with_digest:
         cols.append(F.sha2(F.col("content"), 256).alias("content_sha256"))
+    if secret_scan:
+        # secrets policy enabled: count credential patterns in the SAME
+        # single content pass (the bytes are already in cache for the
+        # digest — four more codegen regexes, zero extra I/O), so the
+        # narrow projection can still drop the content column
+        from opengauss_tools_datachecker_spark.functions.text import secret_counts
+
+        cols.extend(secret_counts("content"))
     return files.select(*cols)
 
 

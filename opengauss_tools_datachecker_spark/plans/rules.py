@@ -398,6 +398,71 @@ class NumericOutlierRule:
         )
 
 
+class SecretsRule:
+    """N8 (extension): leaked-credential scan on file content.
+
+    For a table of source-code repos the highest-value per-row content
+    check after integrity is secret leakage: AWS access keys, private
+    key headers, GitHub/Slack tokens (functions/text.SECRET_PATTERNS —
+    fixed-prefix shapes with near-zero false-positive rates). The
+    reference has no analog; a migration verifier that already scans
+    every content byte gets this for one more codegen projection.
+
+    Opt-in via ``params['secrets']=True`` (a policy scan, not an
+    integrity invariant). Under ``run_suite`` the flag folds the
+    pattern counts into prepare_files' single content pass (the bytes
+    are in cache for the sha256 anyway — zero extra I/O); standalone
+    the rule scans content itself. Pure map either way: one codegen
+    ``regexp_count`` per pattern, filter any>0 — zero shuffle at any
+    scale. ``observed`` summarizes matched patterns as
+    ``name=count ...``; ``expected`` is the empty policy.
+    """
+
+    rule_id = "secrets"
+    version = "1"
+
+    @staticmethod
+    def applicable(ctx: CheckContext) -> bool:
+        if not ctx.params.get("secrets"):
+            return False
+        cols = set(ctx.files.columns)
+        return "content" in cols or "n_aws_key" in cols
+
+    def check(self, ctx: CheckContext) -> DataFrame:
+        from opengauss_tools_datachecker_spark.functions.text import (
+            SECRET_PATTERNS,
+            secret_counts,
+        )
+
+        files = ctx.files_with_bucket()
+        names = [f"n_{name}" for name, _ in SECRET_PATTERNS]
+        if names[0] in files.columns:
+            counted = files.select(*KEY_COLS, "bucket", *names)
+        else:
+            counted = files.select(*KEY_COLS, "bucket", *secret_counts("content"))
+        hit = None
+        for n in names:
+            d = F.coalesce(F.col(n), F.lit(0)) > 0
+            hit = d if hit is None else (hit | d)
+        summary = F.concat_ws(
+            " ",
+            *[
+                F.when(
+                    F.coalesce(F.col(n), F.lit(0)) > 0,
+                    F.concat(F.lit(n[2:] + "="), F.col(n).cast("string")),
+                )
+                for n in names
+            ],
+        )
+        return counted.filter(hit).select(
+            F.lit(self.rule_id).alias("rule_id"),
+            F.col("bucket"),
+            key_expr(*KEY_COLS).alias("key"),
+            summary.alias("observed"),
+            F.lit("no credential material").alias("expected"),
+        )
+
+
 ALL_RULES = [
     SchemaRule(),
     ContentSha256Rule(),
@@ -406,4 +471,5 @@ ALL_RULES = [
     ColumnStatsRule(),
     DriftRule(),
     NumericOutlierRule(),
+    SecretsRule(),
 ]

@@ -138,7 +138,9 @@ def run_suite(
     if missing:
         files = ctx.files
     else:
-        files = prepare_files(ctx.files, ctx.n_buckets).persist()
+        files = prepare_files(
+            ctx.files, ctx.n_buckets, secret_scan=bool(ctx.params.get("secrets"))
+        ).persist()
     # When the baseline's histogram cube is precomputed (the production
     # path), the baseline table itself is never scanned here.
     baseline = (

@@ -52,3 +52,49 @@ def test_empty_tables(spark):
     a = checksum_table(empty, ["id"])
     assert symmetric_diff(a, a).count() == 0
     assert multiset_diff(a, a).count() == 0
+
+
+def test_column_diff_localizes_changed_columns(spark):
+    from opengauss_tools_datachecker_spark.operators.checksum import column_diff
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.0), (3, "c", 3.0)], "id long, s string, x double"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "B", 2.0), (3, "c", 4.25)], "id long, s string, x double"
+    )
+    rows = sorted(
+        (r["id"], r["column_name"], r["source_value"], r["target_value"])
+        for r in column_diff(src, tgt, key_cols=["id"]).collect()
+    )
+    # exactly one row per (key, differing column); canon decimal(38,10)
+    # rendering for the double column
+    assert rows == [
+        (2, "s", "b", "B"),
+        (3, "x", "3.0000000000", "4.2500000000"),
+    ]
+
+
+def test_column_diff_null_semantics(spark):
+    from opengauss_tools_datachecker_spark.operators.checksum import column_diff
+
+    src = spark.createDataFrame([(1, "a"), (2, None)], "id long, s string")
+    tgt = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
+    rows = column_diff(src, tgt, key_cols=["id"]).collect()
+    # value -> NULL is a finding; NULL == NULL is not
+    assert [(r["id"], r["source_value"], r["target_value"]) for r in rows] == [(1, "a", None)]
+
+
+def test_column_diff_unpivots_only_mismatched_rows(spark):
+    from opengauss_tools_datachecker_spark.operators.checksum import column_diff
+
+    src = spark.createDataFrame([(i, "v", float(i)) for i in range(100)],
+                                "id long, s string, x double")
+    tgt = src.withColumn("x", F.when(F.col("id") == 7, 99.0).otherwise(F.col("x")))
+    plan = column_diff(src, tgt, key_cols=["id"])._jdf.queryExecution().optimizedPlan().toString()
+    # the any-differs filter must sit BELOW the stack/Generate so the
+    # unpivot runs on O(mismatches), not O(rows)
+    gen_pos = plan.find("Generate")
+    assert gen_pos != -1
+    below = plan[gen_pos:]
+    assert "Filter" in below and "Join" in below

@@ -50,13 +50,14 @@ def test_clean_input_all_pass(spark, small_files, base):
     result = run_suite(_ctx(spark, small_files, base, baseline=small_files))
     assert not result.failed
     assert result.violations.count() == 0
-    # opt-in rules (schema without a contract, outlier without outlier_k)
-    # are skipped entirely — count the applicable ones
+    # opt-in rules (schema without a contract, outlier without
+    # outlier_k, secrets without the policy flag) are skipped entirely —
+    # count the applicable ones
     ctx = _ctx(spark, small_files, base, baseline=small_files)
     n_data_rules = sum(
         1 for r in ALL_RULES if getattr(r, "applicable", lambda _: True)(ctx)
     )
-    assert n_data_rules == len(ALL_RULES) - 2
+    assert n_data_rules == len(ALL_RULES) - 3
     assert len(result.verdicts) == 8 * n_data_rules
 
 
@@ -264,3 +265,22 @@ def test_drift_rule_without_lang_degrades(spark, small_files, base):
     keys_b = _keys(DriftRule().check(_ctx(spark, nolang, base, baseline=nolang)))
     assert all(k.startswith("len_ks|") for k in keys_b)
     assert keys_b == set()  # identical baseline -> no drift
+
+
+def test_leak_secrets_caught_by_secrets_rule(spark, small_files, base):
+    from opengauss_tools_datachecker_spark.plans.rules import SecretsRule
+
+    corrupted, injected = fx.leak_secrets(small_files, 0.02)
+    exp = {"|".join([r.repo, r.path, r.commit]) for r in injected.collect()}
+    v = SecretsRule().check(_ctx(spark, corrupted, base, secrets=True))
+    assert _keys(v) == exp
+    assert v.filter(F.col("observed") != "aws_key=1").count() == 0
+    # clean content has zero hits
+    assert SecretsRule().check(_ctx(spark, small_files, base, secrets=True)).count() == 0
+
+
+def test_secrets_rule_opt_in(spark, small_files, base):
+    from opengauss_tools_datachecker_spark.plans.rules import SecretsRule
+
+    assert not SecretsRule.applicable(_ctx(spark, small_files, base))
+    assert SecretsRule.applicable(_ctx(spark, small_files, base, secrets=True))
