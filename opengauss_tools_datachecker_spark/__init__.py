@@ -25,6 +25,7 @@ __version__ = "0.1.0"
 from opengauss_tools_datachecker_spark.session import get_spark  # noqa: F401
 from opengauss_tools_datachecker_spark.plans.runner import (  # noqa: F401
     RunResult,
+    check_incremental,
     check_tables,
     run_suite,
 )

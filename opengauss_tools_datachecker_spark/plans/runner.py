@@ -279,3 +279,66 @@ def run_suite(
     return RunResult(
         violations=violations, verdicts=verdict_rows, skipped=done, cached=rule_frames
     )
+
+
+def check_incremental(
+    ctx: CheckContext,
+    old_files: DataFrame,
+    control: ControlTable,
+    old_snapshot_id: str,
+    snapshot_id: str,
+    rules=None,
+) -> RunResult:
+    """Revalidate only what changed between two snapshots — N6 upgraded
+    from resume-after-kill to resume-after-data-change.
+
+    ``snapshot_diff`` classifies keys added/removed/modified (narrow
+    digest projections of both snapshots, one key-shuffle join); every
+    bucket containing a change is DIRTY. Clean buckets' verdicts from
+    ``old_snapshot_id`` carry forward — re-recorded under the new
+    snapshot so :func:`run_suite`'s resume path skips them — and the
+    suite then runs on the dirty buckets only (the bucket filter
+    prunes partitions on an Iceberg bucket layout). At 10^12 rows with
+    0.1% daily churn this turns a full revalidation into a scan of
+    ~the touched buckets.
+
+    Soundness boundary: carry-forward assumes a clean bucket's rule
+    inputs are unchanged — manifest rows for unchanged keys, the drift
+    baseline, and (for referential) the commits validity set. When a
+    global input changes, bump that rule's ``version``: the version
+    mismatch blocks the carry and forces a re-run. Table-granular
+    rules (schema) are never carried — they are metadata-cheap and
+    re-run every snapshot. Carried FAIL verdicts keep their violation
+    COUNTS; the violation ROWS live with the run that produced them
+    (the control table's run_id is the join key to that output).
+    """
+    from opengauss_tools_datachecker_spark.fixtures import bucket_of
+    from opengauss_tools_datachecker_spark.operators.checksum import snapshot_diff
+
+    active = rules if rules is not None else ALL_RULES
+    active = [r for r in active if getattr(r, "applicable", lambda _: True)(ctx)]
+    rule_versions = {r.rule_id: r.version for r in active}
+    by_id = {r.rule_id: r for r in active}
+
+    changes = snapshot_diff(old_files, ctx.files, key_cols=["repo", "path", "commit"])
+    dirty = {
+        r["bucket"]
+        for r in changes.select(bucket_of("repo", ctx.n_buckets).alias("bucket"))
+        .distinct()
+        .collect()
+    }
+    clean = set(range(ctx.n_buckets)) - dirty
+
+    old_ctl = control.read(ctx.spark).filter(
+        (F.col("snapshot_id") == old_snapshot_id) & F.col("status").isin("PASS", "FAIL")
+    )
+    carried = [
+        (r.bucket, r.rule_id, r.n_violations, r.status)
+        for r in old_ctl.collect()
+        if r.bucket in clean
+        and rule_versions.get(r.rule_id) == r.rule_version
+        and getattr(by_id.get(r.rule_id), "granularity", "bucket") == "bucket"
+    ]
+    if carried:
+        control.record(ctx.spark, carried, snapshot_id, rule_versions, run_id=ctx.run_id)
+    return run_suite(ctx, active, control, snapshot_id, resume=True)

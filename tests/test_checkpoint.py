@@ -81,3 +81,60 @@ def test_new_snapshot_or_version_invalidates(spark, small_files, tmp_path):
         snapshot_id="snapB",
     )
     assert len(r3.verdicts) == 8 and r3.skipped == set()
+
+
+def test_incremental_revalidates_only_dirty_buckets(spark, small_files, tmp_path):
+    from pyspark.sql import functions as F
+
+    from opengauss_tools_datachecker_spark.plans.runner import check_incremental
+
+    manifest = fx.manifest(small_files)
+    commits = fx.repo_commits(small_files)
+    rules = [ContentSha256Rule(), UniquenessRule()]
+    rids = {r.rule_id for r in rules}
+    ctl = ControlTable(str(tmp_path / "ctl_inc"))
+
+    # snapshot s0: clean full run, all 8x2 pairs PASS and checkpointed
+    r0 = run_suite(
+        _ctx(spark, small_files, manifest, commits), rules=rules, control=ctl,
+        snapshot_id="s0",
+    )
+    assert not r0.failed
+
+    # snapshot s1: corrupt the content of exactly one repo (one bucket)
+    one_repo = small_files.select("repo").first()["repo"]
+    dirty = {
+        r["bucket"]
+        for r in small_files.filter(F.col("repo") == one_repo)
+        .select("bucket").distinct().collect()
+    }
+    new_files = small_files.withColumn(
+        "content",
+        F.when(
+            F.col("repo") == one_repo, F.concat(F.col("content"), F.lit("X"))
+        ).otherwise(F.col("content")),
+    )
+    res = check_incremental(
+        _ctx(spark, new_files, manifest, commits), small_files, ctl,
+        old_snapshot_id="s0", snapshot_id="s1", rules=rules,
+    )
+
+    # every clean bucket's verdict carried forward and skipped; only the
+    # dirty bucket's pairs recomputed
+    assert res.skipped == {(b, rid) for b in set(range(8)) - dirty for rid in rids}
+    recomputed = {(b, r) for (b, r, _, _) in res.verdicts}
+    assert recomputed == {(b, rid) for b in dirty for rid in rids}
+
+    # violations are exactly the changed repo's rows, flagged by sha256
+    exp_keys = {
+        "|".join([r.repo, r.path, r.commit])
+        for r in small_files.filter(F.col("repo") == one_repo).collect()
+    }
+    got = {r["key"] for r in res.violations.collect()}
+    assert got == exp_keys
+
+    # the new snapshot's lineage is complete: all pairs recorded under s1
+    versions = {r.rule_id: r.version for r in rules}
+    assert ctl.completed_pairs(spark, "s1", versions) == {
+        (b, rid) for b in range(8) for rid in rids
+    }
