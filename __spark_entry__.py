@@ -182,7 +182,11 @@ def q_checksum_symdiff(spark, sf_dir):
 
 def q_multiset_diff(spark, sf_dir):
     """Exact multiset diff — catches the duplicate counts the reference's
-    FULL JOIN misses (SURVEY.md §1.4)."""
+    FULL JOIN misses (SURVEY.md §1.4). The target side is synthesized
+    from the source by filter+union, so this bench query hashes
+    lineitem rows three times — an artifact of the synthesis, not the
+    operator: in production the two sides are different tables, each
+    hashed exactly once."""
     li = _t(spark, sf_dir, "lineitem")
     src = li.select(row_checksum(li))
     dropped = li.filter(F.col("l_orderkey") % 1000 != 0)
