@@ -67,6 +67,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
+        "--secrets", action="store_true",
+        help="enable the credential-leak scan (N8); pattern counts fold "
+        "into the suite's single content pass",
+    )
+    p.add_argument(
+        "--outlier-k", type=float, default=None,
+        help="enable the robust outlier rule (N7) with this median±k*MAD band",
+    )
+    p.add_argument(
+        "--incremental-from",
+        help="previous validated snapshot's table path: revalidate only "
+        "buckets whose keys changed, carry clean buckets' verdicts "
+        "forward (requires --control and --old-snapshot)",
+    )
+    p.add_argument("--old-snapshot", help="snapshot id of --incremental-from")
+    p.add_argument(
         "--max-violations", type=int, default=None,
         help="cap REPORTED violation rows per (bucket, rule); verdict "
         "counts stay exact (guards the report path against a "
@@ -143,17 +159,34 @@ def main(argv: list[str] | None = None) -> int:
             baseline_cube=baseline_cube,
             expected_schema=args.expected_schema,
             n_buckets=args.buckets,
-            params=(
-                {"max_violations_per_pair": args.max_violations}
-                if args.max_violations
-                else {}
-            ),
+            params={
+                k: v
+                for k, v in (
+                    ("max_violations_per_pair", args.max_violations),
+                    ("secrets", args.secrets or None),
+                    ("outlier_k", args.outlier_k),
+                )
+                if v
+            },
         )
         control = ControlTable(args.control) if args.control else None
-        result = run_suite(
-            ctx, rules=rules, control=control, snapshot_id=args.snapshot,
-            resume=not args.no_resume,
-        )
+        if args.incremental_from:
+            if control is None or not args.old_snapshot:
+                raise ValueError(
+                    "--incremental-from requires --control and --old-snapshot"
+                )
+            from opengauss_tools_datachecker_spark.plans.runner import check_incremental
+
+            result = check_incremental(
+                ctx, _read(args.incremental_from), control,
+                old_snapshot_id=args.old_snapshot, snapshot_id=args.snapshot,
+                rules=rules,
+            )
+        else:
+            result = run_suite(
+                ctx, rules=rules, control=control, snapshot_id=args.snapshot,
+                resume=not args.no_resume,
+            )
 
         # summary.log analog
         n_fail = sum(1 for (_, _, _, s) in result.verdicts if s == "FAIL")

@@ -64,3 +64,26 @@ def test_cli_jdbc_requires_url(data):
     r = _run("--files", "app.orders", "--format", "jdbc", "--rules", "uniqueness")
     assert r.returncode == 2
     assert "--jdbc-url" in r.stderr
+
+
+def test_cli_incremental_mode(data, tmp_path_factory):
+    ctl = tmp_path_factory.mktemp("cli_inc") / "control"
+    # full clean run at s0
+    r0 = _run("--files", data / "clean", "--manifest", data / "manifest",
+              "--commits", data / "commits", "--rules", "sha256,uniqueness",
+              "--control", ctl, "--snapshot", "s0")
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    # incremental run at s1 against the corrupted snapshot: dirty buckets
+    # recompute (FAIL), clean buckets resume from the carried verdicts
+    r1 = _run("--files", data / "files", "--manifest", data / "manifest",
+              "--commits", data / "commits", "--rules", "sha256,uniqueness",
+              "--control", ctl, "--snapshot", "s1",
+              "--incremental-from", data / "clean", "--old-snapshot", "s0")
+    assert r1.returncode == 1, r1.stderr[-2000:]
+    assert "resumed" in r1.stdout and "FAIL bucket=" in r1.stdout
+
+
+def test_cli_incremental_requires_control(data):
+    r = _run("--files", data / "files", "--incremental-from", data / "clean")
+    assert r.returncode == 2
+    assert "requires --control" in r.stderr
