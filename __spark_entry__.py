@@ -717,6 +717,16 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, by="user_id", ts_col="ts", value_col="value", gap_minutes=30)
 
 
+def q_audio_energy(spark, sf_dir):
+    """Audio modality: stub-decoded deterministic waveform → windowed
+    energy/peak features, one row per (asset, window). Integer-exact
+    (sum of squared uint8 samples), so the DuckDB oracle reproduces
+    the kernel bit-for-bit from the same sha256-derived samples."""
+    d = _t(spark, sf_dir, "documents")
+    assets = mm.assets_from_documents(d)
+    return mm.audio_window_energy(assets, n_samples=64, window=8)
+
+
 def q_frame_features(spark, sf_dir):
     """Video frame-sampling + per-frame decode (stubbed codec): one row
     per sampled frame with rounded per-dimension features. Fully
@@ -875,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "q_multimodal_features": q_multimodal_features,
         "q_frame_features": q_frame_features,
+        "q_audio_energy": q_audio_energy,
         "q_asof_join": q_asof_join,
         "q_sessionize": q_sessionize,
         "q_outliers": q_outliers,

@@ -81,6 +81,7 @@ HEADLINE = [
     "q_embedding_neardup_lsh",
     "q_multimodal_features",
     "q_frame_features",
+    "q_audio_energy",
     "q_asof_join",
     "q_sessionize",
     "q_outliers",

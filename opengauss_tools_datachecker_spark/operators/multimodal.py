@@ -161,3 +161,53 @@ def resize_meta(assets: DataFrame, max_side: int = 256) -> DataFrame:
         F.round(w * scale).cast("int").alias("target_width"),
         F.round(h * scale).cast("int").alias("target_height"),
     )
+
+
+def audio_window_energy(
+    assets: DataFrame, n_samples: int = 64, window: int = 8, strict: bool = False
+) -> DataFrame:
+    """Windowed signal features for audio assets: one row per
+    (asset_id, window_idx) with the window's energy (sum of squared
+    sample values) and peak amplitude.
+
+    The decode is the same stubbed kernel family as
+    :func:`decode_features` — a deterministic waveform of ``n_samples``
+    uint8 samples derived from sha256(payload) (replace with libav PCM
+    decode where codecs exist; strict=True raises instead). Features
+    are INTEGER-exact (no float math), so the DuckDB oracle reproduces
+    them bit-for-bit from the same digest.
+
+    Scale shape: map-only mapInPandas — payloads are consumed in the
+    kernel and never emitted or shuffled; output is fixed-width rows
+    (n_windows per asset).
+    """
+    if n_samples % window:
+        raise ValueError("n_samples must be a multiple of window")
+
+    audio = assets.filter(F.col("kind") == "audio").select("asset_id", "payload")
+    n_win = n_samples // window
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, energy, peak = [], [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if strict:
+                    raise NotImplementedError(
+                        "audio codecs not available in this environment"
+                    )
+                digest = hashlib.sha256(bytes(p) if p is not None else b"").digest()
+                raw = (digest * (n_samples // len(digest) + 1))[:n_samples]
+                x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64).reshape(
+                    n_win, window
+                )
+                ids.extend([aid] * n_win)
+                widx.extend(range(n_win))
+                energy.extend((x * x).sum(axis=1).tolist())
+                peak.extend(x.max(axis=1).tolist())
+            yield pd.DataFrame(
+                {"asset_id": ids, "window_idx": widx, "energy": energy, "peak": peak}
+            )
+
+    return audio.mapInPandas(
+        extract, schema="asset_id long, window_idx int, energy long, peak int"
+    )

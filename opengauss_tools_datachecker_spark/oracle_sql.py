@@ -842,6 +842,35 @@ FROM d
 
 ORACLES["q_multimodal_features"] = _multimodal_sql()
 
+# audio windowed energy twin: samples are the 32 digest bytes repeated
+# to 64; window i covers samples 8i..8i+7; energy/peak are integer
+# arithmetic — bit-exact across engines. kind='audio' when the first
+# digest byte % 3 == 1 (assets_from_documents' element_at index 2).
+_AU_HEX = "strpos('0123456789abcdef', substr(hk, {p}, 1)) - 1"
+_AU_B0 = f"(({_AU_HEX.format(p=1)}) * 16 + ({_AU_HEX.format(p=2)}))"
+ORACLES["q_audio_energy"] = f"""
+WITH d AS (
+  SELECT doc_id AS asset_id,
+         sha256(CAST(doc_id AS VARCHAR)) AS hk,     -- kind digest (id-derived)
+         sha256(COALESCE(text, '')) AS h            -- waveform digest (payload)
+  FROM documents),
+a AS (SELECT * FROM d WHERE {_AU_B0} % 3 = 1),
+b AS (
+  SELECT asset_id,
+         list_transform(range(32), j ->
+           (strpos('0123456789abcdef', substr(h, CAST(2*j+1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, CAST(2*j+2 AS INT), 1)) - 1)) AS bytes
+  FROM a)
+SELECT asset_id,
+       CAST(widx AS INT) AS window_idx,
+       CAST(list_sum(list_transform(range(8), k ->
+            bytes[CAST((8*widx+k) % 32 AS INT) + 1]
+            * bytes[CAST((8*widx+k) % 32 AS INT) + 1])) AS BIGINT) AS energy,
+       CAST(list_aggregate(list_transform(range(8), k ->
+            bytes[CAST((8*widx+k) % 32 AS INT) + 1]), 'max') AS INT) AS peak
+FROM b, UNNEST(range(8)) AS t(widx)
+"""
+
 
 def _frame_features_sql(every_ms: int = 5000, n: int = 4) -> str:
     """Mirror of multimodal.sample_frames + frame_features over

@@ -98,3 +98,30 @@ def test_column_diff_unpivots_only_mismatched_rows(spark):
     assert gen_pos != -1
     below = plan[gen_pos:]
     assert "Filter" in below and "Join" in below
+
+
+def test_column_diff_agrees_with_row_digest(spark):
+    """Metamorphic consistency: a key appears in column_diff iff its row
+    checksum differs — the two views of 'modified' must coincide for
+    any perturbation."""
+    from opengauss_tools_datachecker_spark.operators.checksum import column_diff
+
+    src = spark.createDataFrame(
+        [(i, f"s{i % 7}", float(i) / 3.0, i % 5) for i in range(300)],
+        "id long, s string, x double, k long",
+    )
+    tgt = (
+        src.withColumn("x", F.when(F.col("id") % 11 == 0, F.col("x") * 2 + 1).otherwise(F.col("x")))
+        .withColumn("s", F.when(F.col("id") % 13 == 0, F.lit(None)).otherwise(F.col("s")))
+        .withColumn("k", F.when(F.col("id") % 17 == 0, F.col("k") + 10).otherwise(F.col("k")))
+    )
+    diff_keys = {
+        r["id"] for r in column_diff(src, tgt, key_cols=["id"]).select("id").distinct().collect()
+    }
+    a = checksum_table(src, ["id"]).withColumnRenamed("checksum", "ca")
+    b = checksum_table(tgt, ["id"]).withColumnRenamed("checksum", "cb")
+    digest_keys = {
+        r["id"]
+        for r in a.join(b, "id").filter(~F.col("ca").eqNullSafe(F.col("cb"))).collect()
+    }
+    assert diff_keys == digest_keys and len(diff_keys) > 0

@@ -84,3 +84,40 @@ def test_frame_sampling_and_resize(spark):
     rs = mm.resize_meta(assets, max_side=256).collect()
     assert all(max(r["target_width"], r["target_height"]) <= 256 for r in rs)
     assert all(r["target_width"] <= r["width"] for r in rs)
+
+
+def test_audio_window_energy_matches_reference_math(spark):
+    import hashlib
+
+    import numpy as np
+
+    from opengauss_tools_datachecker_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, f"waveform source {i}") for i in range(40)], "doc_id long, text string"
+    )
+    assets = mm.assets_from_documents(docs)
+    out = mm.audio_window_energy(assets, n_samples=64, window=8).collect()
+    audio_ids = {r["asset_id"] for r in assets.filter("kind = 'audio'").collect()}
+    assert {r["asset_id"] for r in out} == audio_ids
+    assert all(len([r for r in out if r["asset_id"] == a]) == 8 for a in audio_ids)
+    # replay the stub decode independently
+    for r in out:
+        digest = hashlib.sha256(f"waveform source {r['asset_id']}".encode()).digest()
+        x = np.frombuffer((digest * 2)[:64], dtype=np.uint8).astype(np.int64)
+        w = x[8 * r["window_idx"]: 8 * r["window_idx"] + 8]
+        assert r["energy"] == int((w * w).sum()) and r["peak"] == int(w.max())
+
+
+def test_audio_window_energy_strict_mode_raises(spark):
+    import pytest as _pytest
+
+    from opengauss_tools_datachecker_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(30)], "doc_id long, text string"
+    )
+    assets = mm.assets_from_documents(docs)
+    assert assets.filter("kind = 'audio'").count() > 0  # kernel must run
+    with _pytest.raises(Exception, match="codecs not available"):
+        mm.audio_window_energy(assets, strict=True).count()
