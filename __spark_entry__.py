@@ -365,6 +365,16 @@ def q_minhash_bands(spark, sf_dir):
     return dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
 
 
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash Jaccard estimate for LSH candidate pairs: agreeing
+    signature positions out of 8 — the cheap screen between banding
+    and the exact shingle verifier (integral output, engine-exact)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
+    return dedup.minhash_estimate_pairs(sigs, pairs, "doc_id", n_hashes=8)
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash_fingerprints(d, "doc_id", "text")
@@ -860,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontam_keep": q_decontam_keep,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_bands": q_minhash_bands,
+        "q_minhash_estimate": q_minhash_estimate,
         "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,

@@ -56,6 +56,7 @@ HEADLINE = [
     "q_decontam_keep",
     "q_dedup_exact",
     "q_minhash_bands",
+    "q_minhash_estimate",
     "q_dedup_clusters",
     "q_simhash",
     "q_ngram_jaccard",

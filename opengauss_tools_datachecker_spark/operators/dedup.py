@@ -212,6 +212,34 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    signatures: DataFrame, pairs: DataFrame, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """Standard MinHash Jaccard estimator over candidate pairs:
+    ``(id_a, id_b, n_agree)`` where n_agree counts agreeing signature
+    positions — E[n_agree/n_hashes] = Jaccard. Kept integral so the
+    cross-engine comparison is exact; divide by ``n_hashes`` for the
+    estimate.
+
+    The cheap middle tier between LSH candidates and the exact
+    verifier (:func:`ngram_jaccard_pairs`): two id-equi-joins against
+    the fixed-width signature table and a codegen sum of equality
+    flags — no shingles re-materialized, no quadratic work.
+    """
+    keep = [F.col(f"mh{j}") for j in range(n_hashes)]
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"), *[c.alias(f"_a{j}") for j, c in enumerate(keep)]
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"), *[c.alias(f"_b{j}") for j, c in enumerate(keep)]
+    )
+    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    agree = sum(
+        (F.col(f"_a{j}") == F.col(f"_b{j}")).cast("int") for j in range(n_hashes)
+    )
+    return joined.select("id_a", "id_b", agree.alias("n_agree"))
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

@@ -334,6 +334,39 @@ FROM fb a JOIN fb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORACLES["q_minhash_bands"] = _minhash_sql()
 
 
+def _minhash_estimate_sql() -> str:
+    mh_cols = ",\n       ".join(
+        f"list_min(list_transform(s, x -> md5('mh{j}_' || x))) AS mh{j}" for j in range(8)
+    )
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, concat_ws('#', '{b}', mh{2 * b}, mh{2 * b + 1}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_shingle3()} AS s FROM toks WHERE len(w) >= 3),
+sig AS (SELECT doc_id,
+       {mh_cols}
+       FROM sh),
+bands AS ({band_selects}),
+keep AS (SELECT band_key FROM bands GROUP BY 1
+         HAVING COUNT(*) > 1 AND COUNT(*) <= 1000),
+fb AS (SELECT b.doc_id, b.band_key FROM bands b JOIN keep USING (band_key)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fb a JOIN fb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT p.id_a, p.id_b, CAST({agree} AS INT) AS n_agree
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+"""
+
+
+ORACLES["q_minhash_estimate"] = _minhash_estimate_sql()
+
+
 def _simhash_sql() -> str:
     hexhi = "'8','9','a','b','c','d','e','f'"
     bit_terms = " + ".join(

@@ -208,3 +208,26 @@ def test_simhash60_matches_spec_and_identical_text(spark):
     assert fps["a"] == fps["b"]
     assert 0 <= fps["a"] < 2**60
     assert fps["c"] == 0  # NULL text -> zero votes, matching the SQL twin
+
+
+def test_minhash_estimate_bounds_and_identity(spark):
+    from opengauss_tools_datachecker_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_estimate_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base), (3, base + " with a small tail change"),
+            (4, "completely different text about database validation engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", n_hashes=8)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
+    est = {(r["id_a"], r["id_b"]): r["n_agree"]
+           for r in minhash_estimate_pairs(sigs, pairs, "doc_id").collect()}
+    # identical docs agree on every position; all estimates in [0, 8]
+    assert est[(1, 2)] == 8
+    assert all(0 <= v <= 8 for v in est.values())
+    # near-dup pair (if banded) agrees on more positions than it disagrees
+    if (1, 3) in est:
+        assert est[(1, 3)] >= 4
