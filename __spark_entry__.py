@@ -321,6 +321,18 @@ def q_drift_ks(spark, sf_dir):
     return v.select("bucket", F.round("statistic", 4).alias("ks_stat"), "drifted")
 
 
+def q_drift_w1(spark, sf_dir):
+    """N4: Wasserstein-1 drift on the log2-length histogram — total CDF
+    displacement in bin units, the complement to KS's max gap. Oracle:
+    windowed cumulative sums, SUM of |CDF gaps| instead of MAX."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.substring("source", 4, 10).cast("int")
+    )
+    hist = length_histogram(d, F.col("n_chars"), by="bucket")
+    v = drift_verdicts(hist, test="w1", numeric_order=True, w1_threshold=0.25)
+    return v.select("bucket", F.round("statistic", 4).alias("w1_stat"), "drifted")
+
+
 def q_drift_psi(spark, sf_dir):
     """N4 extension: Population Stability Index per source-bucket vs
     rest-of-table over the lang histogram — the monitoring-dashboard
@@ -865,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drift_chi2": q_drift_chi2,
         "q_drift_ks": q_drift_ks,
         "q_drift_psi": q_drift_psi,
+        "q_drift_w1": q_drift_w1,
         "q_hash_split": q_hash_split,
         "q_contamination": q_contamination,
         "q_decontam_keep": q_decontam_keep,

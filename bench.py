@@ -51,6 +51,7 @@ HEADLINE = [
     "q_drift_chi2",
     "q_drift_ks",
     "q_drift_psi",
+    "q_drift_w1",
     "q_hash_split",
     "q_contamination",
     "q_decontam_keep",

@@ -110,6 +110,19 @@ def _psi_from_histograms(obs: np.ndarray, ref: np.ndarray) -> float:
     return float(((p - q) * np.log(p / q)).sum())
 
 
+def _w1_from_histograms(obs: np.ndarray, ref: np.ndarray) -> float:
+    """Wasserstein-1 (earth-mover) distance between two binned
+    distributions with unit spacing between adjacent ordered bins:
+    Σ |CDF_p − CDF_q| over the bins — mass-displacement in bin units.
+    Counts cumulate BEFORE normalizing (cumsum(n)/N, not
+    cumsum(n/N)) so the arithmetic matches a SQL windowed-sum
+    replay bit-for-bit."""
+    n1, n2 = obs.sum(), ref.sum()
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    return float(np.abs(np.cumsum(obs) / n1 - np.cumsum(ref) / n2).sum())
+
+
 def drift_verdicts(
     per_bucket_hist: DataFrame,
     reference_hist: DataFrame | None = None,
@@ -117,9 +130,17 @@ def drift_verdicts(
     alpha: float = 0.01,
     numeric_order: bool = False,
     psi_threshold: float = 0.2,
+    w1_threshold: float = 0.25,
 ) -> DataFrame:
-    """Per-bucket two-sample drift test (``test`` ∈ chi2 | ks | psi).
+    """Per-bucket two-sample drift test (``test`` ∈ chi2 | ks | psi | w1).
     Output: (bucket, statistic, threshold, drifted).
+
+    W1 complements KS (max CDF gap) with total mass displacement —
+    sensitive to broad small shifts KS under-weights; like PSI it has
+    no sampling distribution, so ``w1_threshold`` is a bin-units
+    rule-of-thumb (0.25 = a quarter-bin of displaced mass). Only
+    meaningful with ordered bins (``numeric_order=True`` or naturally
+    ordered values).
 
     PSI has no sampling distribution; its threshold is the standard
     rule-of-thumb scale (0.1 watch, 0.2 act) via ``psi_threshold``.
@@ -175,6 +196,9 @@ def drift_verdicts(
         elif test == "psi":
             stat = _psi_from_histograms(obs, ref)
             thr = psi_threshold
+        elif test == "w1":
+            stat = _w1_from_histograms(obs, ref)
+            thr = w1_threshold
         else:
             raise ValueError(f"unknown test {test}")
         return pd.DataFrame(

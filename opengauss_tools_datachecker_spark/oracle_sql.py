@@ -255,6 +255,28 @@ FROM stat
 # numerically, and D = max |cumsum(obs)/n1 - cumsum(ref)/n2|
 # (operators/drift.py:88-94,131-153). Counts are exact integers, so the
 # double cumsums agree bit-for-bit with numpy's sequential fold.
+ORACLES["q_drift_w1"] = """
+WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket,
+                  FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT v, SUM(n) AS nt FROM h GROUP BY 1),
+j AS (SELECT h.bucket, h.v, CAST(h.n AS DOUBLE) AS obs,
+             CAST(tot.nt - h.n AS DOUBLE) AS ref
+      FROM h JOIN tot USING (v)),
+s AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2 FROM j GROUP BY 1),
+c AS (SELECT bucket, v,
+             SUM(obs) OVER (PARTITION BY bucket ORDER BY v) AS cobs,
+             SUM(ref) OVER (PARTITION BY bucket ORDER BY v) AS cref
+      FROM j),
+d AS (SELECT c.bucket,
+             SUM(CASE WHEN s.n1 > 0 AND s.n2 > 0
+                      THEN ABS(cobs / s.n1 - cref / s.n2) ELSE 0.0 END) AS stat
+      FROM c JOIN s USING (bucket) GROUP BY 1)
+SELECT bucket, ROUND(stat, 4) AS w1_stat, stat > 0.25 AS drifted
+FROM d
+"""
+
 ORACLES["q_drift_ks"] = """
 WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket,
                   FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS v,

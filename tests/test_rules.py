@@ -284,3 +284,18 @@ def test_secrets_rule_opt_in(spark, small_files, base):
 
     assert not SecretsRule.applicable(_ctx(spark, small_files, base))
     assert SecretsRule.applicable(_ctx(spark, small_files, base, secrets=True))
+
+
+def test_w1_zero_on_identical_and_positive_on_shift(spark):
+    from opengauss_tools_datachecker_spark.operators.drift import drift_verdicts
+
+    base = [(0, str(v), 100) for v in range(5)]
+    ident = spark.createDataFrame(base, "bucket int, value string, n long")
+    v0 = drift_verdicts(ident, ident, test="w1", numeric_order=True).collect()[0]
+    assert v0["statistic"] == 0.0 and not v0["drifted"]
+    # shift all mass one bin to the right: W1 = 1 bin of displacement
+    shifted = spark.createDataFrame(
+        [(0, str(v + 1), 100) for v in range(5)], "bucket int, value string, n long"
+    )
+    v1 = drift_verdicts(shifted, ident, test="w1", numeric_order=True).collect()[0]
+    assert abs(v1["statistic"] - 1.0) < 1e-9 and v1["drifted"]
