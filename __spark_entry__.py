@@ -382,7 +382,10 @@ def q_minhash_estimate(spark, sf_dir):
     signature positions out of 8 — the cheap screen between banding
     and the exact shingle verifier (integral output, engine-exact)."""
     d = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8)
+    # persisted: the signature frame feeds banding AND both estimator
+    # join sides — in production it is a materialized artifact, so the
+    # Arrow kernel must run once, not once per consumer
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8).persist()
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
     return dedup.minhash_estimate_pairs(sigs, pairs, "doc_id", n_hashes=8)
 
