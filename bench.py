@@ -29,68 +29,8 @@ from opengauss_tools_datachecker_spark.plans.rule import CheckContext
 from opengauss_tools_datachecker_spark.plans.runner import run_suite
 from opengauss_tools_datachecker_spark.session import get_spark
 
-HEADLINE = [
-    "q_row_checksum",
-    "q_reference_md5",
-    "q_mysql_md5",
-    "q_opengauss_md5",
-    "q_oracle_md5",
-    "q_postgres_md5",
-    "q_checksum_symdiff",
-    "q_multiset_diff",
-    "q_violation_recovery",
-    "q_column_diff",
-    "q_referential_orphans",
-    "q_uniqueness_dups",
-    "q_column_stats",
-    "q_agg_stats",
-    "q_status_counts",
-    "q_lang_histogram",
-    "q_len_histogram",
-    "q_len_percentiles",
-    "q_drift_chi2",
-    "q_drift_ks",
-    "q_drift_psi",
-    "q_drift_w1",
-    "q_hash_split",
-    "q_contamination",
-    "q_decontam_keep",
-    "q_dedup_exact",
-    "q_minhash_bands",
-    "q_minhash_estimate",
-    "q_dedup_clusters",
-    "q_simhash",
-    "q_ngram_jaccard",
-    "q_simhash_neardup",
-    "q_simhash60",
-    "q_simhash60_neardup",
-    "q_minhash_verified",
-    "q_catalog_scan",
-    "q_token_stats",
-    "q_top_tokens",
-    "q_corpus_filter",
-    "q_lang_id",
-    "q_quality",
-    "q_secrets",
-    "q_pii_scrub",
-    "q_fingerprint",
-    "q_embedding_quality",
-    "q_embedding_topk",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_ann_ivf_np2",
-    "q_embedding_neardup",
-    "q_embedding_neardup_lsh",
-    "q_multimodal_features",
-    "q_frame_features",
-    "q_audio_energy",
-    "q_asof_join",
-    "q_sessionize",
-    "q_outliers",
-    "q_snapshot_diff",
-    "q_sample_stratified",
-    "q_repetition",
-]
+# every registered query is a headline — derived from the registry so
+# bench coverage can never drift from __spark_entry__.queries()
 
 
 def _force(df) -> None:
@@ -169,7 +109,7 @@ def main() -> None:
     # classes and spawns python workers; report the fastest of the two
     # (min, not last — one-sided steal noise, see the suite note)
     qs = entrymod.queries()
-    for name in HEADLINE:
+    for name in qs:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -169,9 +169,18 @@ def drift_verdicts(
             )
         )
     else:
+        # Full-domain alignment: a category entirely absent from a bucket
+        # must appear as an obs=0 row (ref = total mass), or PSI/W1/KS
+        # silently ignore exactly the one-sided-mass case they exist to
+        # penalize. The (buckets × global values) grid is histogram-sized
+        # (tiny at any input scale), so the crossJoin is broadcast-cheap.
         totals = per_bucket_hist.groupBy("value").agg(F.sum("n").alias("n_total"))
-        joined = per_bucket_hist.join(F.broadcast(totals), "value").select(
-            "bucket", "value", "n", (F.col("n_total") - F.col("n")).alias("n_reference")
+        grid = per_bucket_hist.select("bucket").distinct().crossJoin(F.broadcast(totals))
+        joined = grid.join(per_bucket_hist, ["bucket", "value"], "left").select(
+            "bucket",
+            "value",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            (F.col("n_total") - F.coalesce("n", F.lit(0))).alias("n_reference"),
         )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -95,12 +95,17 @@ _DIALECT_LI = [
     ("l_returnflag", "str"), ("l_shipdate", "ts"),
 ]
 
-for _dialect in ("mysql", "opengauss", "oracle", "postgres"):
-    _parts = ", ".join(_canon_dialect(c, t, _dialect) for c, t in _DIALECT_LI)
-    ORACLES[f"q_{_dialect}_md5"] = f"""
-SELECT l_orderkey, l_linenumber, md5(concat_ws('', {_parts})) AS md5_digest
-FROM lineitem
-"""
+def _dialect_md5_arm(dialect: str) -> str:
+    parts = ", ".join(_canon_dialect(c, t, dialect) for c, t in _DIALECT_LI)
+    return (
+        f"SELECT '{dialect}' AS dialect, l_orderkey, l_linenumber,\n"
+        f"       md5(concat_ws('', {parts})) AS md5_digest\nFROM lineitem"
+    )
+
+
+ORACLES["q_dialect_md5"] = "\nUNION ALL\n".join(
+    _dialect_md5_arm(d) for d in ("mysql", "opengauss", "oracle", "postgres")
+)
 
 _PERTURBED = """
 SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -209,14 +214,14 @@ ORACLES["q_status_counts"] = """
 SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1
 """
 
-ORACLES["q_lang_histogram"] = """
-SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2
-"""
-
-ORACLES["q_len_histogram"] = """
-SELECT CAST(FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS INT) AS len_bin,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM documents GROUP BY 1
+ORACLES["q_histograms"] = """
+SELECT 'lang' AS dim, source AS k1, lang AS k2, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 2, 3
+UNION ALL
+SELECT 'len',
+       CAST(CAST(FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS INT) AS VARCHAR),
+       '', CAST(COUNT(*) AS BIGINT)
+FROM documents GROUP BY 2
 """
 
 ORACLES["q_len_percentiles"] = """
@@ -226,101 +231,68 @@ FROM (SELECT source, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q
       FROM documents GROUP BY 1)
 """
 
-ORACLES["q_drift_chi2"] = """
-WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket, lang,
-                  CAST(COUNT(*) AS BIGINT) AS n
-           FROM documents GROUP BY 1, 2),
-tot AS (SELECT lang, SUM(n) AS nt FROM h GROUP BY 1),
-cells AS (SELECT h.bucket, CAST(h.n AS DOUBLE) AS obs,
-                 CAST(tot.nt - h.n AS DOUBLE) AS ref
-          FROM h JOIN tot USING (lang)),
-sums AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2,
-                CAST(COUNT(*) AS BIGINT) AS k
-         FROM cells GROUP BY 1),
-stat AS (SELECT c.bucket,
+# All four drift statistics (bucket vs rest-of-table) in one frame keyed
+# by stat_name, mirroring q_drift / drift_verdicts' fallback mode with
+# FULL-DOMAIN alignment: every bucket is tested over the global value
+# set (bucket × values grid, obs=0 fill), so one-sided mass — a category
+# entirely absent from a bucket — is penalized, not dropped
+# (operators/drift.py:171-184). chi² dof is therefore |global values|-1
+# for every bucket; counts are exact integers, so the double cumsums
+# agree bit-for-bit with numpy's sequential fold at 4-decimal rounding.
+ORACLES["q_drift"] = """
+WITH lh AS (SELECT CAST(substr(source, 4) AS INT) AS bucket, lang AS v,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2),
+ltot AS (SELECT v, SUM(n) AS nt FROM lh GROUP BY 1),
+lcells AS (SELECT b.bucket, t.v, CAST(COALESCE(lh.n, 0) AS DOUBLE) AS obs,
+                  CAST(t.nt - COALESCE(lh.n, 0) AS DOUBLE) AS ref
+           FROM (SELECT DISTINCT bucket FROM lh) b
+           CROSS JOIN ltot t
+           LEFT JOIN lh ON lh.bucket = b.bucket AND lh.v = t.v),
+lsums AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM lcells GROUP BY 1),
+chi2 AS (SELECT c.bucket,
                 SUM(POWER(SQRT(s.n2 / s.n1) * c.obs - SQRT(s.n1 / s.n2) * c.ref, 2)
                     / (c.obs + c.ref)) AS st,
                 MAX(s.k) - 1 AS dof
-         FROM cells c JOIN sums s ON c.bucket = s.bucket GROUP BY 1)
-SELECT bucket, ROUND(st, 4) AS chi2_stat,
+         FROM lcells c JOIN lsums s ON c.bucket = s.bucket GROUP BY 1),
+psi AS (SELECT c.bucket,
+               SUM((GREATEST(c.obs / s.n1, 0.000001) - GREATEST(c.ref / s.n2, 0.000001))
+                   * LN(GREATEST(c.obs / s.n1, 0.000001)
+                        / GREATEST(c.ref / s.n2, 0.000001))) AS st
+        FROM lcells c JOIN lsums s ON c.bucket = s.bucket GROUP BY 1),
+nh AS (SELECT CAST(substr(source, 4) AS INT) AS bucket,
+              FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS v,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM documents GROUP BY 1, 2),
+ntot AS (SELECT v, SUM(n) AS nt FROM nh GROUP BY 1),
+ncells AS (SELECT b.bucket, t.v, CAST(COALESCE(nh.n, 0) AS DOUBLE) AS obs,
+                  CAST(t.nt - COALESCE(nh.n, 0) AS DOUBLE) AS ref
+           FROM (SELECT DISTINCT bucket FROM nh) b
+           CROSS JOIN ntot t
+           LEFT JOIN nh ON nh.bucket = b.bucket AND nh.v = t.v),
+nsums AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2 FROM ncells GROUP BY 1),
+ncum AS (SELECT bucket, v,
+                SUM(obs) OVER (PARTITION BY bucket ORDER BY v) AS cobs,
+                SUM(ref) OVER (PARTITION BY bucket ORDER BY v) AS cref
+         FROM ncells),
+ks AS (SELECT c.bucket, MAX(ABS(cobs / s.n1 - cref / s.n2)) AS stat,
+              MAX(s.n1) AS n1, MAX(s.n2) AS n2
+       FROM ncum c JOIN nsums s USING (bucket) GROUP BY 1),
+w1 AS (SELECT c.bucket, SUM(ABS(cobs / s.n1 - cref / s.n2)) AS stat
+       FROM ncum c JOIN nsums s USING (bucket) GROUP BY 1)
+SELECT 'chi2' AS stat_name, bucket, ROUND(st, 4) AS stat,
        st > dof * POWER(1.0 - 2.0 / (9.0 * dof)
                         + 2.3263478740 * SQRT(2.0 / (9.0 * dof)), 3) AS drifted
-FROM stat
-"""
-
-# KS D-statistic over the log2-length histogram, bucket vs rest-of-table.
-# Mirrors drift_verdicts' fallback mode exactly: the per-bucket group
-# contains ONLY bins present in that bucket (inner join on the bin), the
-# reference counts are (total - bucket) over those bins, bins sort
-# numerically, and D = max |cumsum(obs)/n1 - cumsum(ref)/n2|
-# (operators/drift.py:88-94,131-153). Counts are exact integers, so the
-# double cumsums agree bit-for-bit with numpy's sequential fold.
-ORACLES["q_drift_w1"] = """
-WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket,
-                  FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS v,
-                  CAST(COUNT(*) AS BIGINT) AS n
-           FROM documents GROUP BY 1, 2),
-tot AS (SELECT v, SUM(n) AS nt FROM h GROUP BY 1),
-j AS (SELECT h.bucket, h.v, CAST(h.n AS DOUBLE) AS obs,
-             CAST(tot.nt - h.n AS DOUBLE) AS ref
-      FROM h JOIN tot USING (v)),
-s AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2 FROM j GROUP BY 1),
-c AS (SELECT bucket, v,
-             SUM(obs) OVER (PARTITION BY bucket ORDER BY v) AS cobs,
-             SUM(ref) OVER (PARTITION BY bucket ORDER BY v) AS cref
-      FROM j),
-d AS (SELECT c.bucket,
-             SUM(CASE WHEN s.n1 > 0 AND s.n2 > 0
-                      THEN ABS(cobs / s.n1 - cref / s.n2) ELSE 0.0 END) AS stat
-      FROM c JOIN s USING (bucket) GROUP BY 1)
-SELECT bucket, ROUND(stat, 4) AS w1_stat, stat > 0.25 AS drifted
-FROM d
-"""
-
-ORACLES["q_drift_ks"] = """
-WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket,
-                  FLOOR(LOG2(GREATEST(CAST(n_chars AS DOUBLE), 1.0))) AS v,
-                  CAST(COUNT(*) AS BIGINT) AS n
-           FROM documents GROUP BY 1, 2),
-tot AS (SELECT v, SUM(n) AS nt FROM h GROUP BY 1),
-j AS (SELECT h.bucket, h.v, CAST(h.n AS DOUBLE) AS obs,
-             CAST(tot.nt - h.n AS DOUBLE) AS ref
-      FROM h JOIN tot USING (v)),
-s AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2 FROM j GROUP BY 1),
-c AS (SELECT bucket, v,
-             SUM(obs) OVER (PARTITION BY bucket ORDER BY v) AS cobs,
-             SUM(ref) OVER (PARTITION BY bucket ORDER BY v) AS cref
-      FROM j),
-d AS (SELECT c.bucket,
-             MAX(CASE WHEN s.n1 > 0 AND s.n2 > 0
-                      THEN ABS(cobs / s.n1 - cref / s.n2) ELSE 0.0 END) AS stat,
-             MAX(s.n1) AS n1, MAX(s.n2) AS n2
-      FROM c JOIN s USING (bucket) GROUP BY 1)
-SELECT bucket, ROUND(stat, 4) AS ks_stat,
-       CASE WHEN n1 > 0 AND n2 > 0
-            THEN stat > 1.628 * SQRT((n1 + n2) / (n1 * n2)) ELSE FALSE END AS drifted
-FROM d
-"""
-
-# PSI over the lang histogram, bucket vs rest-of-table — mirrors
-# drift_verdicts(test='psi') exactly: per-bucket groups contain only
-# that bucket's categories, proportions floored at PSI_EPS=1e-6,
-# threshold the 0.2 rule-of-thumb (operators/drift.py _psi_from_histograms).
-ORACLES["q_drift_psi"] = """
-WITH h AS (SELECT CAST(substr(source, 4) AS INT) AS bucket, lang,
-                  CAST(COUNT(*) AS BIGINT) AS n
-           FROM documents GROUP BY 1, 2),
-tot AS (SELECT lang, SUM(n) AS nt FROM h GROUP BY 1),
-cells AS (SELECT h.bucket, CAST(h.n AS DOUBLE) AS obs,
-                 CAST(tot.nt - h.n AS DOUBLE) AS ref
-          FROM h JOIN tot USING (lang)),
-sums AS (SELECT bucket, SUM(obs) AS n1, SUM(ref) AS n2 FROM cells GROUP BY 1),
-stat AS (SELECT c.bucket,
-                SUM((GREATEST(c.obs / s.n1, 0.000001) - GREATEST(c.ref / s.n2, 0.000001))
-                    * LN(GREATEST(c.obs / s.n1, 0.000001)
-                         / GREATEST(c.ref / s.n2, 0.000001))) AS st
-         FROM cells c JOIN sums s ON c.bucket = s.bucket GROUP BY 1)
-SELECT bucket, ROUND(st, 4) AS psi, st > 0.2 AS drifted FROM stat
+FROM chi2
+UNION ALL
+SELECT 'psi', bucket, ROUND(st, 4), st > 0.2 FROM psi
+UNION ALL
+SELECT 'ks', bucket, ROUND(stat, 4),
+       stat > 1.628 * SQRT((n1 + n2) / (n1 * n2)) FROM ks
+UNION ALL
+SELECT 'w1', bucket, ROUND(stat, 4), stat > 0.25 FROM w1
 """
 
 ORACLES["q_dedup_exact"] = """
@@ -402,7 +374,7 @@ SELECT doc_id, CAST({bit_terms} AS INT) AS simhash FROM toks
 """
 
 
-ORACLES["q_simhash"] = _simhash_sql()
+# merged below with the 60-bit twin (after _simhash60_sql is defined)
 
 # Connected components over the LSH candidate pairs: recursive label
 # propagation — walk enumerates labels reachable through the pair
@@ -438,7 +410,7 @@ WHERE hamming <= {max_hamming}
 """
 
 
-ORACLES["q_simhash_neardup"] = _simhash_neardup_sql()
+# merged below with the 60-bit twin (after _simhash60_sql is defined)
 
 
 def _simhash60_sql() -> str:
@@ -459,16 +431,28 @@ SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM toks
 """
 
 
-ORACLES["q_simhash60"] = _simhash60_sql()
+# both widths in one frame keyed by `bits` (q_simhash's Spark twin
+# widens the 16-bit value to bigint for the union)
+ORACLES["q_simhash"] = f"""
+SELECT CAST(16 AS INT) AS bits, doc_id, CAST(simhash AS BIGINT) AS simhash
+FROM ({_simhash_sql()})
+UNION ALL
+SELECT CAST(60 AS INT), doc_id, simhash FROM ({_simhash60_sql()})
+"""
 
-# guaranteed-recall banding => the oracle is the exact Hamming ball
-ORACLES["q_simhash60_neardup"] = f"""
-WITH fp AS ({_simhash60_sql()})
-SELECT id_a, id_b, hamming FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
-WHERE hamming <= 3
+# guaranteed-recall banding at either width => the oracle is the exact
+# unbanded Hamming ball on each side, keyed by `bits`
+ORACLES["q_simhash_neardup"] = f"""
+SELECT CAST(16 AS INT) AS bits, id_a, id_b, hamming
+FROM ({_simhash_neardup_sql()})
+UNION ALL
+SELECT CAST(60 AS INT), id_a, id_b, hamming FROM (
+  WITH fp AS ({_simhash60_sql()})
+  SELECT id_a, id_b, hamming FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+  WHERE hamming <= 3)
 """
 
 ORACLES["q_ngram_jaccard"] = f"""
@@ -521,14 +505,15 @@ pairs AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
           FROM ev JOIN tr USING (sh) GROUP BY 1, 2)
 """
 
+# contaminated pairs + the decontaminated keep-list in one frame keyed
+# by `kind` ('pair' rows carry eval_id/n_overlap; 'keep' rows use -1
+# sentinels so the frame stays NULL-free for gate sorting/hashing)
 ORACLES["q_contamination"] = f"""
 WITH {_CONTAM_CTES}
-SELECT eval_id, train_id, n_overlap FROM pairs WHERE n_overlap >= 2
-"""
-
-ORACLES["q_decontam_keep"] = f"""
-WITH {_CONTAM_CTES}
-SELECT doc_id FROM tr_toks
+SELECT 'pair' AS kind, eval_id, train_id, n_overlap
+FROM pairs WHERE n_overlap >= 2
+UNION ALL
+SELECT 'keep', CAST(-1 AS BIGINT), doc_id, CAST(-1 AS BIGINT) FROM tr_toks
 WHERE doc_id NOT IN (SELECT train_id FROM pairs WHERE n_overlap >= 2)
 """
 
@@ -768,7 +753,7 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <
 """
 
 
-ORACLES["q_ann_ivf"] = _ann_ivf_sql()
+# nprobe=1 and nprobe=2 arms in one frame keyed by `nprobe`
 
 
 def _ann_ivf_nprobe_sql(n_centroids: int = 8, dim: int = 64, k: int = 3, nprobe: int = 2) -> str:
@@ -805,7 +790,13 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rank FROM r WHERE rn <
 """
 
 
-ORACLES["q_ann_ivf_np2"] = _ann_ivf_nprobe_sql()
+ORACLES["q_ann_ivf"] = f"""
+SELECT CAST(1 AS INT) AS nprobe, query_id, neighbor_id, cos_sim, rank
+FROM ({_ann_ivf_sql()})
+UNION ALL
+SELECT CAST(2 AS INT), query_id, neighbor_id, cos_sim, rank
+FROM ({_ann_ivf_nprobe_sql()})
+"""
 
 # MinHash LSH candidates verified by exact shingle Jaccard — the
 # production two-stage near-dup pipeline in one query.
@@ -840,12 +831,8 @@ UNION ALL SELECT 'documents', COUNT(*) FROM documents
 UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
 """
 
-ORACLES["q_embedding_neardup"] = f"""
-SELECT * FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cos_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-WHERE cos_sim >= 0.3
-"""
+# exact all-pairs baseline + sign-LSH-pruned scale path in one frame
+# keyed by `method` (merged with the LSH arm defined below)
 
 
 def _embedding_neardup_lsh_sql(n_planes: int = 6, dim: int = 64, threshold: float = 0.3) -> str:
@@ -869,7 +856,15 @@ WHERE cos_sim >= {threshold}
 """
 
 
-ORACLES["q_embedding_neardup_lsh"] = _embedding_neardup_lsh_sql()
+ORACLES["q_embedding_neardup"] = f"""
+SELECT 'exact' AS method, id_a, id_b, cos_sim FROM (
+  SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+  WHERE cos_sim >= 0.3)
+UNION ALL
+SELECT 'lsh', id_a, id_b, cos_sim FROM ({_embedding_neardup_lsh_sql()})
+"""
 
 
 def _multimodal_sql(n: int = 8) -> str:
@@ -973,7 +968,8 @@ e AS (SELECT user_id, ts, event_id AS error_id FROM (
                ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
         FROM events WHERE event_type = 'error')
       WHERE rn = 1)
-SELECT p.event_id, p.user_id, p.amount, e.error_id AS error_id_asof
+SELECT p.event_id, p.user_id, p.amount,
+       COALESCE(e.error_id, CAST(-1 AS BIGINT)) AS error_id_asof
 FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.ts >= e.ts
 """
 

@@ -84,6 +84,6 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries_run(spark):
-    for name in ("q_drift_ks", "q_multimodal_features"):
+    for name in ("q_drift", "q_multimodal_features"):
         df = entrymod.queries()[name](spark, SF_DIR)
         assert df.count() >= 0
