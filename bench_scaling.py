@@ -208,8 +208,15 @@ def main() -> None:
         e / hw for e, hw in zip(per_trial_eff, per_trial_hw)
     ]
     valid = [i for i, hw in enumerate(per_trial_hw) if 0.75 <= hw <= 1.05]
-    efficiency_norm = statistics.median(
-        [per_trial_norm[i] for i in valid] if valid else per_trial_norm
+    # When NO trial passes the hw-validity gate, the run is
+    # measurement-INVALID: falling back to the unfiltered normalized
+    # trials would let a fully-contended run PASS on exactly the
+    # distortion the gate rejected (e.g. 0.97/0.70 ≈ 1.4 "efficiency").
+    # efficiency_norm then contributes 0 to the PASS decision and the
+    # report carries an explicit invalid flag — re-run in a quiet window.
+    measurement_valid = bool(valid)
+    efficiency_norm = (
+        statistics.median([per_trial_norm[i] for i in valid]) if valid else 0.0
     )
     # hypervisor steal is one-sided noise (it only ever slows a run), so
     # the fastest trial per level is the closest observation of the
@@ -230,6 +237,7 @@ def main() -> None:
         "per_trial_hw_ratio": [round(e, 3) for e in per_trial_hw],
         "scaling_efficiency_hw_normalized": round(efficiency_norm, 3),
         "valid_trials": valid,
+        "measurement_valid": measurement_valid,
         "scaling_efficiency_best": round(efficiency_best, 3),
         "hardware_ceiling_efficiency": round(hw_eff, 3),
         "software_efficiency_vs_ceiling": round(min(efficiency / hw_eff, 1.5), 3),
@@ -262,6 +270,7 @@ def main() -> None:
             f"| per-trial hardware ratios (burn, 1.0 = per-core parity) | {result['per_trial_hw_ratio']} |\n"
             f"| hw-normalized efficiency, median of valid trials | **{result['scaling_efficiency_hw_normalized']}** |\n"
             f"| valid trial indices (hw ratio in [0.75, 1.05]) | {result['valid_trials']} |\n"
+            f"| measurement valid (>=1 trial passed the hw gate) | {'yes' if result['measurement_valid'] else 'NO - INVALID RUN, re-run in a quiet window'} |\n"
             f"| scaling efficiency, best trial per level | **{result['scaling_efficiency_best']}** |\n"
             f"| hardware ceiling (pure-CPU burn, same levels) | {result['hardware_ceiling_efficiency']} |\n"
             f"| software efficiency vs ceiling | {result['software_efficiency_vs_ceiling']} |\n"

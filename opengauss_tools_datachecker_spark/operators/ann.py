@@ -93,7 +93,19 @@ def _score_pairs_join(
     )
 
 
+# ---------------------------------------------------------------------
+# Catalyst HOF forms — ENGINE-PORTABLE SPECS, NOT HOT PATHS. Spark
+# evaluates HOF lambdas interpreted (~10µs/element, measured; see the
+# module header), so every per-row/per-pair dot product in this module
+# runs through an Arrow kernel (_fold_gram et al) that replays these
+# folds bit-for-bit. Keep these as the executable definition the DuckDB
+# oracles and the kernels are checked against; do NOT call them on a
+# vector column at scale.
+# ---------------------------------------------------------------------
+
+
 def _dot(a: Column, b: Column) -> Column:
+    """SPEC ONLY (see block comment above): index-order dot-product fold."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -102,6 +114,7 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
+    """SPEC ONLY: sqrt of the index-order fold of squares."""
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -112,6 +125,7 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """SPEC ONLY: cosine as the kernels and oracles define it."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -200,7 +214,8 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: str = "lsh") -> list[list[flo
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: concatenated signs of plane dot products."""
+    """SPEC ONLY (hot path: ``_lsh_buckets_kernel``): sign-LSH bucket id
+    as concatenated signs of plane dot products."""
     bits = []
     for row in planes:
         plane = F.array(*[F.lit(w) for w in row])
@@ -340,9 +355,10 @@ def ivf_centroids(dim: int, n_centroids: int = 8, seed: str = "ivf") -> list[lis
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """Nearest-centroid cell id (argmax dot with unit centroids ==
-    argmax cosine). Ties break to the LOWER cell id — array_max over
-    (score, -cell) structs compares fields left to right."""
+    """SPEC ONLY (hot path: ``_probe_cells_kernel``): nearest-centroid
+    cell id (argmax dot with unit centroids == argmax cosine). Ties
+    break to the LOWER cell id — array_max over (score, -cell) structs
+    compares fields left to right."""
     scored = F.array(
         *[
             F.struct(
@@ -356,9 +372,10 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
 
 
 def ivf_probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """The ``nprobe`` nearest cells for a query vector, best first.
-    Ties break to the LOWER cell id: array_sort orders (score asc,
-    -cell asc); reversed that is (score desc, cell asc)."""
+    """SPEC ONLY (hot path: ``_probe_cells_kernel``): the ``nprobe``
+    nearest cells for a query vector, best first. Ties break to the
+    LOWER cell id: array_sort orders (score asc, -cell asc); reversed
+    that is (score desc, cell asc)."""
     scored = F.array(
         *[
             F.struct(
@@ -466,9 +483,11 @@ def ivf_topk(
 
     The scale path beyond LSH: cells shrink the candidate join
     ~n_centroids/nprobe-fold and both the cell assignment and the probe
-    list are pure maps (codegen'd higher-order dot products, no UDF).
-    nprobe > 1 explodes each query over its next-best cells — same join
-    shape, nprobe× candidates, recall rises accordingly. Scoring joins
+    list are pure maps — Arrow-batched ``_probe_cells_kernel`` calls
+    (HOF lambdas evaluate interpreted per element, see the module
+    header; the kernel is one C-speed fold per batch). nprobe > 1
+    explodes each query over its next-best cells — same join shape,
+    nprobe× candidates, recall rises accordingly. Scoring joins
     candidate pairs back to the distributed vectors table (no corpus
     collect). AQE splits skewed cells.
     """

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from opengauss_tools_datachecker_spark.functions.text import (
     minhash_signature,
@@ -76,14 +77,39 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Groups of byte-identical documents: (digest, n_docs, doc_ids)."""
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_exemplars: int | None = 16
+) -> DataFrame:
+    """Groups of byte-identical documents: (digest, n_docs, doc_ids).
+
+    ``n_docs`` is always the exact group count; ``doc_ids`` holds at
+    most ``max_exemplars`` (smallest ids) — one degenerate digest (empty
+    docs, boilerplate headers) can have 10^8 members at corpus scale,
+    and an unbounded ``collect_list`` would build a multi-GB array row
+    on a single reducer. The exemplars come from a row_number window
+    pre-prune, NOT ``slice(collect_list(...))``: WindowExec sort-streams
+    the group and the post-filter collect_list buffers at most K ids,
+    whereas slicing after collect_list still materializes the whole
+    roster in the aggregation buffer first. The count agg and the
+    window/collect hash-partition on the same key, so the final join
+    adds no exchange. ``max_exemplars=None`` keeps the full roster — an
+    explicit small-data opt-in, same contract as the LSH path's
+    ``max_bucket_size``.
+    """
     digests = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("digest"))
-    return (
-        digests.groupBy("digest")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .filter(F.col("n_docs") > 1)
+    counts = digests.groupBy("digest").agg(F.count(F.lit(1)).alias("n_docs"))
+    pruned = digests
+    if max_exemplars is not None:
+        w = Window.partitionBy("digest").orderBy(id_col)
+        pruned = (
+            digests.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_exemplars)
+            .drop("_rn")
+        )
+    exemplars = pruned.groupBy("digest").agg(
+        F.sort_array(F.collect_list(id_col)).alias("doc_ids")
     )
+    return counts.join(exemplars, "digest").filter(F.col("n_docs") > 1)
 
 
 def minhash_signatures(

@@ -88,8 +88,9 @@ def decode_features(assets: DataFrame, feature_dim: int = 16, strict: bool = Fal
                 {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "features": feats}
             )
 
+    id_type = assets.schema["asset_id"].dataType.simpleString()
     return assets.mapInPandas(
-        extract, schema="asset_id long, kind string, features array<float>"
+        extract, schema=f"asset_id {id_type}, kind string, features array<float>"
     )
 
 
@@ -141,8 +142,9 @@ def frame_features(
                 {"asset_id": pdf["asset_id"], "frame_ms": pdf["frame_ms"], "features": feats}
             )
 
+    id_type = assets.schema["asset_id"].dataType.simpleString()
     return joined.mapInPandas(
-        extract, schema="asset_id long, frame_ms long, features array<float>"
+        extract, schema=f"asset_id {id_type}, frame_ms long, features array<float>"
     )
 
 
@@ -208,6 +210,7 @@ def audio_window_energy(
                 {"asset_id": ids, "window_idx": widx, "energy": energy, "peak": peak}
             )
 
+    id_type = assets.schema["asset_id"].dataType.simpleString()
     return audio.mapInPandas(
-        extract, schema="asset_id long, window_idx int, energy long, peak int"
+        extract, schema=f"asset_id {id_type}, window_idx int, energy long, peak int"
     )

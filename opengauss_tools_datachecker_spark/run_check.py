@@ -160,13 +160,15 @@ def main(argv: list[str] | None = None) -> int:
             expected_schema=args.expected_schema,
             n_buckets=args.buckets,
             params={
+                # `is not None`, not truthiness: --outlier-k 0 and
+                # --max-violations 0 are legitimate values
                 k: v
                 for k, v in (
                     ("max_violations_per_pair", args.max_violations),
                     ("secrets", args.secrets or None),
                     ("outlier_k", args.outlier_k),
                 )
-                if v
+                if v is not None
             },
         )
         control = ControlTable(args.control) if args.control else None

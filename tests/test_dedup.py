@@ -25,6 +25,22 @@ def test_exact_duplicates(docs):
     assert groups[0]["doc_ids"] == [0, 1] and groups[0]["n_docs"] == 2
 
 
+def test_exact_duplicates_bounded_exemplars(spark):
+    # one degenerate hot digest (10k byte-identical docs): the output row
+    # must carry the exact count but only max_exemplars ids — the window
+    # pre-prune bounds group state, never the full roster
+    hot = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text").alias("text")
+    )
+    row = dedup.exact_duplicates(hot, "doc_id", "text", max_exemplars=16).collect()[0]
+    assert row["n_docs"] == 10_000
+    assert row["doc_ids"] == list(range(16))
+
+    # explicit small-data opt-in keeps the full roster
+    full = dedup.exact_duplicates(hot.limit(50), "doc_id", "text", max_exemplars=None)
+    assert len(full.collect()[0]["doc_ids"]) == 50
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {(r.id_a, r.id_b) for r in dedup.minhash_dedup(docs, "doc_id", "text").collect()}
     assert (0, 1) in pairs          # exact dup always collides

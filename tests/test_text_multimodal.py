@@ -121,3 +121,24 @@ def test_audio_window_energy_strict_mode_raises(spark):
     assert assets.filter("kind = 'audio'").count() > 0  # kernel must run
     with _pytest.raises(Exception, match="codecs not available"):
         mm.audio_window_energy(assets, strict=True).count()
+
+
+def test_multimodal_kernels_derive_id_type(spark):
+    # ASSET_SCHEMA is a generic contract: a string asset_id must flow
+    # through every kernel unchanged (schemas derive the id type from
+    # the input instead of hardcoding `long`)
+    from opengauss_tools_datachecker_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(f"asset-{i}", f"payload {i}") for i in range(40)],
+        "doc_id string, text string",
+    )
+    assets = mm.assets_from_documents(docs).cache()
+    feats = mm.decode_features(assets, feature_dim=4)
+    assert dict(feats.dtypes)["asset_id"] == "string"
+    assert feats.count() == 40
+    frames = mm.frame_features(assets, every_ms=5000, feature_dim=2)
+    assert dict(frames.dtypes)["asset_id"] == "string"
+    energy = mm.audio_window_energy(assets, n_samples=16, window=8)
+    assert dict(energy.dtypes)["asset_id"] == "string"
+    assert energy.count() > 0
