@@ -184,6 +184,36 @@ def canon_column(col: Column | str, dtype: T.DataType, dialect: str = "spark") -
     return c.cast("string")
 
 
+def canon_geometry(col: Column | str, dialect: str = "spark") -> Column:
+    """GEOMETRY rendering per dialect, over a WKT string column.
+
+    Spark has no geometry type; a geometry column surfaces as WKT text
+    (``POINT(1 2)``) from a JDBC ``AsText`` read or a migration export.
+    The reference's per-dialect geometry rules converge both engines on
+    the same bytes for points:
+
+    - mysql: ``substring(AsText(col), 6)`` (MysqlUtil.java:29,58-59) —
+      chops exactly the 5-char ``POINT`` tag: ``POINT(1 2)`` → ``(1 2)``
+    - opengauss: ``replace(cast(col as varchar), ',', ' ')``
+      (OpenGaussUtil.java:40,73-74) — the native cast renders only the
+      coordinate list (``(1,2)``), and spacing the commas lands on the
+      SAME ``(1 2)`` bytes MySQL produced. The Spark form composes both
+      steps from WKT: drop the leading type tag, then space any commas
+      (multi-part geometries keep their comma positions spaced, exactly
+      as the live engine's replace would).
+    - spark / other dialects: the WKT text itself (no reference rule —
+      Oracle/Postgres have no geometry case in their matrices).
+    """
+    if dialect not in DIALECTS:
+        raise ValueError(f"unknown dialect {dialect!r}; one of {DIALECTS}")
+    c = F.col(col) if isinstance(col, str) else col
+    if dialect == "mysql":
+        return F.substring(c, 6, 2**31 - 1)
+    if dialect == "opengauss":
+        return F.translate(F.regexp_replace(c, "^[A-Z ]+", ""), ",", " ")
+    return c
+
+
 def reencode(col: Column | str, src_charset: str, dst_charset: str) -> Column:
     """Charset round-trip for CHAR-family comparisons (P5).
 
@@ -207,6 +237,7 @@ def checksum_column(
     algo: str = "sha256",
     reference_compat: bool = False,
     dialect: str = "spark",
+    geometry_cols: set[str] | None = None,
 ) -> Column:
     """Digest over the canonicalized concatenation of *fields*.
 
@@ -216,8 +247,17 @@ def checksum_column(
     the reference's empty separator + skip-NULL semantics and md5;
     combine with ``dialect='mysql'|'opengauss'`` to reproduce that
     database's exact generated-SQL digest byte-for-byte.
+    ``geometry_cols`` names WKT string columns to push through
+    :func:`canon_geometry` (schema metadata can't distinguish a
+    geometry from any other string).
     """
-    canons = [canon_column(f.name, f.dataType, dialect=dialect) for f in fields]
+    geo = geometry_cols or set()
+    canons = [
+        canon_geometry(f.name, dialect=dialect)
+        if f.name in geo
+        else canon_column(f.name, f.dataType, dialect=dialect)
+        for f in fields
+    ]
     if reference_compat:
         concat = F.concat_ws("", *canons)
         return F.md5(concat) if algo == "md5" else F.sha2(concat, 256)
@@ -237,11 +277,16 @@ def row_checksum(
     out: str = "checksum",
     reference_compat: bool = False,
     dialect: str = "spark",
+    geometry_cols: set[str] | None = None,
 ) -> Column:
     """``checksum_column`` bound to *df*'s schema (all or listed cols)."""
     by_name = {f.name: f for f in df.schema.fields}
     names = cols if cols is not None else [f.name for f in df.schema.fields]
     fields = [by_name[n] for n in names]
     return checksum_column(
-        fields, algo=algo, reference_compat=reference_compat, dialect=dialect
+        fields,
+        algo=algo,
+        reference_compat=reference_compat,
+        dialect=dialect,
+        geometry_cols=geometry_cols,
     ).alias(out)

@@ -218,3 +218,49 @@ def test_float_render_parity_vs_duckdb_randomized(spark):
     rows = con.execute(f"SELECT i, {base}, {my}, {og} FROM t").fetchall()
     bad = [(i, got[i], (s, m, g)) for i, s, m, g in rows if got[i] != (s, m, g)]
     assert not bad, bad[:5]
+
+
+def test_geometry_dialect_golden_strings(spark):
+    # MysqlUtil.java:29 substring(AsText(col),6) and OpenGaussUtil.java:40
+    # replace(cast(col as varchar),',',' ') converge on the same bytes
+    from opengauss_tools_datachecker_spark.functions.canon import canon_geometry
+
+    df = spark.createDataFrame(
+        [
+            (0, "POINT(1 2)"),
+            (1, "POINT(-3.5 0.25)"),
+            (2, None),
+        ],
+        "i long, geo string",
+    )
+    rows = {
+        r.i: (r.my, r.og)
+        for r in df.select(
+            "i",
+            canon_geometry("geo", dialect="mysql").alias("my"),
+            canon_geometry("geo", dialect="opengauss").alias("og"),
+        ).collect()
+    }
+    assert rows[0] == ("(1 2)", "(1 2)")
+    assert rows[1] == ("(-3.5 0.25)", "(-3.5 0.25)")
+    assert rows[2] == (None, None)
+
+    # multi-part: openGauss's native comma positions come out spaced
+    poly = spark.createDataFrame([("LINESTRING(0 0, 1 1)",)], "geo string")
+    got = poly.select(canon_geometry("geo", dialect="opengauss").alias("og")).first()
+    assert got.og == "(0 0  1 1)"
+
+    # digest integration: geometry_cols pushes a WKT string through the
+    # geometry rule; the two dialect digests agree on points
+    from opengauss_tools_datachecker_spark.functions.canon import row_checksum
+
+    pts = df.filter("geo IS NOT NULL")
+    my = pts.select(
+        row_checksum(pts, cols=["geo"], algo="md5", reference_compat=True,
+                     dialect="mysql", geometry_cols={"geo"}).alias("d")
+    ).collect()
+    og = pts.select(
+        row_checksum(pts, cols=["geo"], algo="md5", reference_compat=True,
+                     dialect="opengauss", geometry_cols={"geo"}).alias("d")
+    ).collect()
+    assert [r.d for r in my] == [r.d for r in og]
