@@ -552,28 +552,22 @@ def q_dedup_clusters(spark, sf_dir):
 def q_top_tokens(spark, sf_dir):
     """Vocabulary heavy hitters: top-5 tokens per lang by document
     frequency (distinct per doc, so a token spamming one document
-    can't dominate). Two-phase top-k: a per-(lang, token-hash-salt)
-    window prunes each shard to its local top-5 FIRST — a token in the
-    global top-5 outranks all but ≤4 tokens anywhere, so it survives
-    its shard's cut under the same (df desc, token asc) order — then
-    the per-lang window ranks only ≤5·P survivors. Without the
-    pre-prune the final window is a single task per lang over the full
-    vocabulary (10^7-10^8 distinct tokens at corpus scale)."""
+    can't dominate).
+
+    Scale note (measured, docs/PLANS.md "Top tokens"): the row_number +
+    rank<=k filter triggers Spark's WindowGroupLimit rewrite — a
+    PARTIAL group-limit runs per map partition BELOW the exchange, so
+    each task ships at most 5 rows per lang and the per-lang window
+    task ranks <=5·P survivors, never the full vocabulary. A manual
+    salt-window pre-prune (tried in round 3) adds a second exchange of
+    the count table and is strictly worse; don't reintroduce it."""
     from pyspark.sql.window import Window
 
     d = _t(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.array_distinct(tx.tokens("text"))).alias("token"))
     counts = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("df"))
-    salt = F.pmod(F.xxhash64("token"), F.lit(16))
-    order = (F.desc("df"), F.asc("token"))
-    pre = Window.partitionBy("lang", salt).orderBy(*order)
-    survivors = (
-        counts.withColumn("_prnk", F.row_number().over(pre))
-        .filter(F.col("_prnk") <= 5)
-        .drop("_prnk")
-    )
-    w = Window.partitionBy("lang").orderBy(*order)
-    return survivors.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
 
 
 def q_corpus_filter(spark, sf_dir):
