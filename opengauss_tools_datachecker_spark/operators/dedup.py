@@ -587,3 +587,54 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment: |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    The snippet-inclusion detector Jaccard is blind to: a 50-shingle
+    doc fully embedded in a 5000-shingle doc has containment 1.0 but
+    Jaccard ≈ 0.01 — exactly the quote/boilerplate/forked-file case a
+    training-data dedup pass must catch. Same plan shape as
+    :func:`ngram_jaccard_pairs` (shared shingle rows, optional
+    candidate semi-join BELOW the self-join), only the score differs.
+    Output: (id_a, id_b, containment) with id_a < id_b.
+    """
+    sh = distinct_shingle_rows(df, id_col, text_col, shingle_n)
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

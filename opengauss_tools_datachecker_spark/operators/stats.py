@@ -137,3 +137,51 @@ def embedding_quality(
     return df.select(id_col, vec_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, issue string, observed string"
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-unigram Shannon entropy per document — the cheap
+    perplexity proxy for corpus quality filtering (low entropy = repeated
+    characters / boilerplate / padding; natural text sits ~4-4.5 bits).
+
+    Output: (id, n_chars_obs, n_distinct, entropy_bits). NULL/empty text
+    rows are kept with integer zeros (NULL-free frame).
+
+    Scale shape: map-only Arrow kernel — the per-doc character histogram
+    never leaves the batch, so there is no explode of 10^12 x doc_len
+    char rows and no shuffle at all. ``+ 0.0`` normalizes IEEE -0.0
+    (single-repeated-char docs) so the bytes match a SQL replay.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        for pdf in batches:
+            n_obs, n_dist, ent = [], [], []
+            for text in pdf["_text"]:
+                if text is None or len(text) == 0:
+                    n_obs.append(0)
+                    n_dist.append(0)
+                    ent.append(0.0)
+                    continue
+                _, counts = np.unique(list(text), return_counts=True)
+                p = counts / counts.sum()
+                h = float(-(p * np.log2(p)).sum())
+                n_obs.append(len(text))
+                n_dist.append(len(counts))
+                ent.append(round(h, 6) + 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"],
+                    "n_chars_obs": n_obs,
+                    "n_distinct": n_dist,
+                    "entropy_bits": ent,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).mapInPandas(
+        kernel,
+        schema=f"{id_col} {id_type}, n_chars_obs long, n_distinct long, entropy_bits double",
+    )

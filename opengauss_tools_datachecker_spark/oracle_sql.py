@@ -471,6 +471,47 @@ SELECT * FROM (
 WHERE jaccard >= 0.8
 """
 
+# asymmetric containment: same shingle chain, score = inter / min size
+ORACLES["q_containment"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct({_shingle3()}) AS s FROM toks WHERE len(w) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         ROUND(CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b)
+WHERE containment >= 0.8
+"""
+
+# character-unigram entropy: per-doc char histogram via position
+# unnest; ROUND(...,6) + 0.0 matches the kernel's round + -0.0
+# normalization; NULL/empty docs carried with integer zeros
+ORACLES["q_char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> substr(text, i, 1))) AS ch
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+h AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n FROM chars GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(n) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM h GROUP BY 1),
+e AS (SELECT h.doc_id,
+             -SUM((CAST(n AS DOUBLE) / nt) * LOG2(CAST(n AS DOUBLE) / nt)) AS ent
+      FROM h JOIN tot USING (doc_id) GROUP BY 1)
+SELECT t.doc_id, CAST(t.nt AS BIGINT) AS n_chars_obs, t.n_distinct,
+       ROUND(e.ent, 6) + 0.0 AS entropy_bits
+FROM tot t JOIN e USING (doc_id)
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+FROM documents WHERE text IS NULL OR length(text) = 0
+"""
+
 # ---- train/eval split + contamination (operators/contamination.py) ----
 # Thresholds come from the SAME helper the Spark operator uses, so the
 # cumulative-fraction hex bounds agree by construction; the md5-prefix

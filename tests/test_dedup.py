@@ -247,3 +247,17 @@ def test_minhash_estimate_bounds_and_identity(spark):
     # near-dup pair (if banded) agrees on more positions than it disagrees
     if (1, 3) in est:
         assert est[(1, 3)] >= 4
+
+
+def test_containment_catches_snippet_inclusion(spark):
+    # a short doc fully embedded in a long doc: containment 1.0 while
+    # Jaccard is far below any dedup threshold
+    snippet = " ".join(f"tok{i}" for i in range(10))
+    long_doc = snippet + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, snippet)], "doc_id long, text string"
+    )
+    cont = dedup.ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []  # Jaccard blind to the inclusion
