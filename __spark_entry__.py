@@ -23,9 +23,9 @@ from opengauss_tools_datachecker_spark.operators.checksum import (
     symmetric_diff,
 )
 from opengauss_tools_datachecker_spark.operators.drift import (
-    categorical_histogram,
+    cube_marginal,
     drift_verdicts,
-    length_histogram,
+    histogram_cube,
 )
 from opengauss_tools_datachecker_spark.operators.referential import orphan_keys
 from opengauss_tools_datachecker_spark.operators.uniqueness import duplicate_keys
@@ -299,18 +299,22 @@ def q_drift(spark, sf_dir):
       (windowed-cumsum CDF gap, asymptotic critical value)
     - w1: Wasserstein-1 total CDF displacement over the same histogram
 
-    Each histogram feeds two statistics, so both are persisted — the
-    pandas stage sees only histogram rows, and the fallback alignment
-    fills the full (bucket × global value) grid so one-sided mass
-    (a category absent from a bucket) is penalized, not dropped.
+    The raw table is scanned and shuffled ONCE into the joint
+    (bucket, lang, len-bin) histogram cube, which is persisted (it is
+    histogram-sized); both input histograms are marginals of it and
+    each feeds two statistics. The pandas stage sees only histogram
+    rows, and the fallback alignment fills the full (bucket × global
+    value) grid so one-sided mass (a category absent from a bucket)
+    is penalized, not dropped.
     """
     from functools import reduce
 
     d = _t(spark, sf_dir, "documents").withColumn(
         "bucket", F.substring("source", 4, 10).cast("int")
     )
-    lang_hist = categorical_histogram(d, "lang", by="bucket").persist()
-    len_hist = length_histogram(d, F.col("n_chars"), by="bucket").persist()
+    cube = histogram_cube(d, "lang", F.col("n_chars"), by="bucket").persist()
+    lang_hist = cube_marginal(cube, "cat")
+    len_hist = cube_marginal(cube, "len")
 
     def arm(verdicts, name):
         return verdicts.select(
@@ -430,17 +434,24 @@ def q_contamination(spark, sf_dir):
     - kind='keep': train ids anti-joined against the contaminated side
       — (train_id populated, eval_id/n_overlap = -1 sentinels; the
       frame stays NULL-free so any gate compare can sort/hash it)
+
+    The pair frame is PERSISTED and the keep-list derives from it by
+    anti-join, so the shingle chain (tokenize → distinct shingles →
+    DF cap → equi-join) runs once, not once per arm — Catalyst would
+    otherwise recompute the whole subtree for each union branch.
     """
     d = _t(spark, sf_dir, "documents")
     s = ctm.hash_split(d, "doc_id")
     train = s.filter(F.col("split") == "train")
     ev = s.filter(F.col("split") == "test")
-    pairs = ctm.ngram_contamination(
+    raw_pairs = ctm.ngram_contamination(
         train, ev, "doc_id", "text", shingle_n=3, min_overlap=2, max_shingle_df=50
-    ).select(F.lit("pair").alias("kind"), "eval_id", "train_id", "n_overlap")
-    keep = ctm.decontaminated_train_ids(
-        train, ev, "doc_id", "text", shingle_n=3, min_overlap=2, max_shingle_df=50
-    ).select(
+    ).persist()
+    pairs = raw_pairs.select(
+        F.lit("pair").alias("kind"), "eval_id", "train_id", "n_overlap"
+    )
+    dirty = raw_pairs.select(F.col("train_id").alias("doc_id")).distinct()
+    keep = train.select("doc_id").join(dirty, "doc_id", "left_anti").select(
         F.lit("keep").alias("kind"),
         F.lit(-1).cast("long").alias("eval_id"),
         F.col("doc_id").alias("train_id"),
