@@ -244,7 +244,30 @@ def main() -> None:
         "passes_0_8": max(efficiency, efficiency_norm, efficiency_best) >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Everything from '## History' to EOF is hand-maintained audit trail
+    # (per-run records, regression audits) — preserve it across rewrites
+    # and append this run's one-line record to it.
+    preserved = (
+        "## History\n\n(auto-started; one line per recorded run)\n"
+    )
+    if os.path.exists(md_path):
+        old = open(md_path).read()
+        idx = old.find("## History")
+        if idx >= 0:
+            preserved = old[idx:].rstrip() + "\n"
+    preserved += (
+        f"- run: levels {n_low}/{n_high}, raw median "
+        f"{result['scaling_efficiency']}, trials "
+        f"{result['scaling_efficiency_per_trial']}, hw ratios "
+        f"{result['per_trial_hw_ratio']}, hw-norm "
+        f"{result['scaling_efficiency_hw_normalized']}, best "
+        f"{result['scaling_efficiency_best']}, ceiling "
+        f"{result['hardware_ceiling_efficiency']}, "
+        f"{'VALID' if result['measurement_valid'] else 'INVALID'}, "
+        f"{'PASS' if result['passes_0_8'] else 'FAIL'}\n"
+    )
+    with open(md_path, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured throughput + scaling efficiency\n\n"
             "Full validation rule suite (sha256+Merkle, uniqueness, referential,\n"
@@ -279,22 +302,9 @@ def main() -> None:
             "measurement windows saw different host noise (a burn cannot\n"
             "truly scale past 1.0-per-core): its raw Spark ratio is\n"
             "distortion, which the hw-normalized column cancels to first\n"
-            "order. History: round-1 measurement recorded 0.836 median\n"
-            "per-trial (trials [0.836, 0.866, 0.678], hw ceiling 0.958,\n"
-            "PASS); a round-2 re-run during a contended window recorded\n"
-            "raw trials [0.851, 0.682, 0.645] with an IMPOSSIBLE hw\n"
-            "ceiling of 1.26 — i.e. the low-parallelism windows were\n"
-            "being stolen — which motivated the per-trial hw\n"
-            "normalization and validity gating now in the protocol.\n"
-            "\nSee also the single-shot vs steady-state reconciliation:\n"
-            "the same warmed suite measured 12.9-29.3 s run-to-run at\n"
-            "local[32]; bench.py reports the min of 3 warmed runs, and a\n"
-            "same-protocol A/B showed round-2 code at 155k files/sec vs\n"
-            "round-1 code at 111k (local[32], 2M rows) — cold first runs\n"
-            "are 2-4x slower (C2 JIT + python worker spawn) and excluded\n"
-            "by the warmup pass, as long-lived production executors\n"
-            "would exclude them.\n"
+            "order.\n\n"
         )
+        f.write(preserved)
     print(json.dumps(result))
 
 
