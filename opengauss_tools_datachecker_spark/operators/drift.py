@@ -1,8 +1,11 @@
-"""Distribution-drift detection (N4): histograms + chi²/KS per partition.
+"""Distribution-drift detection (N4): histograms + chi²/KS/PSI/W1 per
+partition.
 
 No reference analog; mandated by BASELINE.json north_star:
 "distribution-drift detection on lang/content-length histograms using a
-two-sample chi-square/KS computed in vectorized pandas-Arrow UDFs".
+two-sample chi-square/KS computed in vectorized pandas-Arrow UDFs" —
+extended with PSI (monitoring-dashboard score) and Wasserstein-1
+(total CDF displacement, complements KS's max gap).
 
 Design for 10^12 rows: the raw data is reduced to histograms FIRST with
 a plain groupBy (one shuffle, map-side combine → output is
