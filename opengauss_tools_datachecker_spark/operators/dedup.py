@@ -184,24 +184,21 @@ def repetition_stats(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str,
-    n_hashes: int = 8,
-    band_size: int = 2,
-    max_bucket_size: int = 1000,
+def band_rows(
+    signatures: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
-    """Banding: docs sharing any full band are candidate near-dups.
+    """(id, band_key) rows — the LSH index representation.
 
-    Output: (id_a, id_b) with id_a < id_b, distinct across bands.
-    Buckets above max_bucket_size are dropped (degenerate content —
-    e.g. empty docs all hash alike); production logs them for review.
+    This IS the persistable near-dup index: write it out partitioned/
+    bucketed by ``band_key`` and new batches probe it with
+    :func:`probe_band_index` without recomputing anything for the
+    already-indexed corpus. Docs too short to shingle (NULL signatures)
+    are excluded — concat_ws would collapse them all into one band key
+    ("0#") and pair them spuriously.
     """
     n_bands = n_hashes // band_size
-    # docs too short to shingle have NULL signatures; concat_ws would
-    # collapse them all into one band key ("0#") and pair them spuriously
     signatures = signatures.filter(F.col("mh0").isNotNull())
-    bands = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -216,6 +213,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band_key"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Banding: docs sharing any full band are candidate near-dups.
+
+    Output: (id_a, id_b) with id_a < id_b, distinct across bands.
+    Buckets above max_bucket_size are dropped (degenerate content —
+    e.g. empty docs all hash alike); production logs them for review.
+    """
+    bands = band_rows(signatures, id_col, n_hashes, band_size)
     # (id, band_key) is tiny (n_bands rows/doc, no content): cache it so
     # the bucket-size pass and both sides of the self-join reuse one
     # signature computation instead of three
@@ -277,6 +290,56 @@ def minhash_dedup(
     """MinHash LSH near-dup candidate pairs end-to-end."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     return lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
+
+
+def probe_band_index(
+    new_signatures: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int = 1000,
+    index_band_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup: candidates for a NEW batch against an
+    already-indexed corpus plus among the new docs themselves.
+
+    Output: (new_id, match_id, origin) with origin 'new_old' (match_id
+    indexed) or 'new_new' (match_id a newer new doc, id-ordered).
+
+    Scale shape — the daily-ingest path at 10^12 docs: the indexed
+    corpus contributes ONLY its (id, band_key) rows (:func:`band_rows`,
+    written once, partitioned/bucketed by band_key so the probe join is
+    shuffle-free on the index side); nothing is re-tokenized, re-hashed
+    or re-paired for old docs, and old×old pairs are never re-emitted.
+    Cost per batch is O(new bands ⋈ index) — the corpus-size term only
+    enters through matching buckets.
+
+    ``index_band_sizes`` is the per-band count table ((band_key, bsz))
+    maintained with the index; passing it skips the full index scan
+    the degenerate-bucket cap otherwise needs (at production scale you
+    update it incrementally with each indexed batch).
+    """
+    new_bands = band_rows(new_signatures, id_col, n_hashes, band_size).persist()
+    if index_band_sizes is None:
+        index_band_sizes = index.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
+    ok_index = index.join(
+        F.broadcast(index_band_sizes.filter(F.col("bsz") > max_bucket_size)),
+        "band_key",
+        "left_anti",
+    )
+    new_old = (
+        new_bands.join(ok_index.withColumnRenamed(id_col, "match_id"), "band_key")
+        .select(F.col(id_col).alias("new_id"), "match_id")
+        .distinct()
+        .withColumn("origin", F.lit("new_old"))
+    )
+    new_new = (
+        lsh_candidate_pairs(new_signatures, id_col, n_hashes, band_size, max_bucket_size)
+        .select(F.col("id_a").alias("new_id"), F.col("id_b").alias("match_id"))
+        .withColumn("origin", F.lit("new_new"))
+    )
+    return new_old.unionByName(new_new)
 
 
 _HEX_HIGH = set("89abcdef")

@@ -261,3 +261,55 @@ def test_containment_catches_snippet_inclusion(spark):
     assert len(cont) == 1 and cont[0]["containment"] == 1.0
     jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
     assert jac == []  # Jaccard blind to the inclusion
+
+
+def test_probe_band_index_incremental_near_dup(spark):
+    """Daily-ingest path: new docs probe the persisted (id, band_key)
+    index — old-vs-old pairs never re-emitted, old corpus never
+    re-hashed, new-new pairs found among the batch itself."""
+    base = " ".join(f"token{i} word{i * 7 % 13}" for i in range(25))
+    other = " ".join(f"alpha{i} beta{i * 5 % 11}" for i in range(25))
+    old = spark.createDataFrame(
+        [(0, base), (1, base), (2, other)], "doc_id long, text string"
+    )
+    old_sigs = dedup.minhash_signatures(old, "doc_id", "text")
+    index = dedup.band_rows(old_sigs, "doc_id").cache()  # the persisted index
+
+    new = spark.createDataFrame(
+        [
+            (10, base.replace("token12", "CHANGED")),  # near-dup of old 0/1
+            (11, "totally unrelated content about spark catalyst planning"),
+            (12, "totally unrelated content about spark catalyst planning"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    new_sigs = dedup.minhash_signatures(new, "doc_id", "text")
+    got = {
+        (r.new_id, r.match_id, r.origin)
+        for r in dedup.probe_band_index(new_sigs, index, "doc_id").collect()
+    }
+    assert (10, 0, "new_old") in got and (10, 1, "new_old") in got
+    assert (11, 12, "new_new") in got
+    assert not any(o == "new_old" and m == 2 for (_, m, o) in got)  # unrelated old
+    assert not any(n == 11 and o == "new_old" for (n, _, o) in got)
+
+
+def test_probe_band_index_caps_degenerate_bucket(spark):
+    """A boilerplate band bucket above the cap is excluded via the
+    maintained (band_key, bsz) stats table — no index scan needed."""
+    boiler = "same same same same same"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    old_sigs = dedup.minhash_signatures(old, "doc_id", "text")
+    index = dedup.band_rows(old_sigs, "doc_id").cache()
+    sizes = index.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
+
+    new = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    new_sigs = dedup.minhash_signatures(new, "doc_id", "text")
+    capped = dedup.probe_band_index(
+        new_sigs, index, "doc_id", max_bucket_size=10, index_band_sizes=sizes
+    )
+    assert capped.filter("origin = 'new_old'").count() == 0
+    uncapped = dedup.probe_band_index(new_sigs, index, "doc_id", max_bucket_size=1000)
+    assert uncapped.filter("origin = 'new_old'").count() == 30
