@@ -87,3 +87,38 @@ def test_cli_incremental_requires_control(data):
     r = _run("--files", data / "files", "--incremental-from", data / "clean")
     assert r.returncode == 2
     assert "requires --control" in r.stderr
+
+
+def test_cli_jdbc_end_to_end_derby(tmp_path_factory):
+    """The reference's primary invocation — point the checker at a live
+    database — through OUR CLI: tables live in embedded Derby, the CLI
+    reads them with --format jdbc and exits 1 on the seeded corruption.
+    Derby embedded allows ONE JVM per database, so the DB is prepared by
+    its own short-lived subprocess before the CLI subprocess boots it."""
+    import subprocess as sp
+
+    root = tmp_path_factory.mktemp("cli_jdbc")
+    prep = root / "prep.py"
+    prep.write_text(f"""
+import sys
+sys.path.insert(0, {str(REPO)!r})
+from opengauss_tools_datachecker_spark import fixtures as fx
+from opengauss_tools_datachecker_spark.session import get_spark
+spark = get_spark(master="local[4]", shuffle_partitions=8)
+clean = fx.repo_files(spark, 3000, n_repos=20, n_buckets=8).cache()
+corrupted, expected = fx.flip_bytes(clean, 0.02)
+assert expected.count() > 0
+url = "jdbc:derby:{root}/db;create=true"
+drv = "org.apache.derby.jdbc.EmbeddedDriver"
+corrupted.write.format("jdbc").option("url", url).option("dbtable", "FILES").option("driver", drv).save()
+fx.manifest(clean).write.format("jdbc").option("url", url).option("dbtable", "MANIFEST").option("driver", drv).save()
+spark.stop()
+""")
+    pr = sp.run([sys.executable, str(prep)], capture_output=True, text=True, timeout=600)
+    assert pr.returncode == 0, pr.stderr[-2000:]
+
+    r = _run("--files", "FILES", "--manifest", "MANIFEST",
+             "--format", "jdbc", "--jdbc-url", f"jdbc:derby:{root}/db",
+             "--rules", "sha256")
+    assert r.returncode == 1, r.stderr[-2000:]
+    assert "FAIL bucket=" in r.stdout
