@@ -119,8 +119,15 @@ def q_dialect_md5(spark, sf_dir):
       (trailing fraction zeros trimmed, bare '.000000' dropped) per
       PostgresUtil.java:27
 
-    One scan per dialect arm of the same cached parquet; each arm is a
-    pure-codegen projection, the union is a no-shuffle concat.
+    One scan per dialect arm; each arm is a pure-codegen projection and
+    the union is a no-shuffle concat. MEASURED (round 3, same-session
+    A/B at sf0.1/local[32]): a single-scan variant computing all four
+    digests in one wide projection + ``stack`` unpivot runs ~45% SLOWER
+    (4.2 s vs 2.9 s) — the 4-digest mega-projection (4 × ~14 rendered
+    columns under each md5) outgrows whole-stage codegen, the same
+    failure mode as the unrolled-expression-tree finding in
+    operators/ann.py. Four cheap parquet scans beat one interpreted
+    projection; don't "deduplicate" the scans.
     """
     from functools import reduce
 
