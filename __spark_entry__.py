@@ -275,19 +275,21 @@ def q_status_counts(spark, sf_dir):
 
 def q_histograms(spark, sf_dir):
     """N4 inputs: the lang (categorical, keyed source × lang) and
-    log2-length histograms in one frame, keyed by a `dim` column —
-    each arm is one map-side-combined groupBy."""
+    log2-length histograms in one frame, keyed by a `dim` column.
+    Both arms are marginals of the persisted (source, lang, len-bin)
+    cube — the raw table is scanned and shuffled ONCE; the marginal
+    groupBys run over the histogram-sized cube."""
     d = _t(spark, sf_dir, "documents")
-    lang = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n")).select(
+    cube = histogram_cube(d, "lang", F.col("n_chars"), by="source").persist()
+    lang = cube.groupBy("source", "_cat").agg(F.sum("n").alias("n")).select(
         F.lit("lang").alias("dim"),
         F.col("source").alias("k1"),
-        F.col("lang").alias("k2"),
+        F.col("_cat").alias("k2"),
         "n",
     )
-    bin_col = F.floor(F.log2(F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)))).cast("int")
-    length = d.groupBy(bin_col.alias("len_bin")).agg(F.count(F.lit(1)).alias("n")).select(
+    length = cube.groupBy("_len_bin").agg(F.sum("n").alias("n")).select(
         F.lit("len").alias("dim"),
-        F.col("len_bin").cast("string").alias("k1"),
+        F.col("_len_bin").alias("k1"),
         F.lit("").alias("k2"),  # '' sentinel, not NULL: NULL-free frames
         "n",                    # sort/hash portably in any gate compare
     )
