@@ -283,11 +283,12 @@ def run_suite(
 
 def check_incremental(
     ctx: CheckContext,
-    old_files: DataFrame,
+    old_files: DataFrame | None,
     control: ControlTable,
     old_snapshot_id: str,
     snapshot_id: str,
     rules=None,
+    dirty_buckets: set[int] | None = None,
 ) -> RunResult:
     """Revalidate only what changed between two snapshots — N6 upgraded
     from resume-after-kill to resume-after-data-change.
@@ -311,6 +312,12 @@ def check_incremental(
     re-run every snapshot. Carried FAIL verdicts keep their violation
     COUNTS; the violation ROWS live with the run that produced them
     (the control table's run_id is the join key to that output).
+
+    ``dirty_buckets`` (e.g. from the snapshot metadata registry's
+    :func:`sources.snapshots.changed_buckets`) skips the
+    ``snapshot_diff`` scan of both snapshots entirely — bucket-level
+    change planning from recorded signatures, no data read outside the
+    dirty buckets. ``old_files`` may then be None.
     """
     from opengauss_tools_datachecker_spark.fixtures import bucket_of
     from opengauss_tools_datachecker_spark.operators.checksum import snapshot_diff
@@ -320,13 +327,18 @@ def check_incremental(
     rule_versions = {r.rule_id: r.version for r in active}
     by_id = {r.rule_id: r for r in active}
 
-    changes = snapshot_diff(old_files, ctx.files, key_cols=["repo", "path", "commit"])
-    dirty = {
-        r["bucket"]
-        for r in changes.select(bucket_of("repo", ctx.n_buckets).alias("bucket"))
-        .distinct()
-        .collect()
-    }
+    if dirty_buckets is not None:
+        dirty = set(dirty_buckets)
+    else:
+        if old_files is None:
+            raise ValueError("check_incremental needs old_files or dirty_buckets")
+        changes = snapshot_diff(old_files, ctx.files, key_cols=["repo", "path", "commit"])
+        dirty = {
+            r["bucket"]
+            for r in changes.select(bucket_of("repo", ctx.n_buckets).alias("bucket"))
+            .distinct()
+            .collect()
+        }
     clean = set(range(ctx.n_buckets)) - dirty
 
     old_ctl = control.read(ctx.spark).filter(

@@ -1,0 +1,119 @@
+"""Snapshot metadata registry: change detection from metadata alone."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark import fixtures as fx
+from opengauss_tools_datachecker_spark.sources.snapshots import (
+    bucket_signatures,
+    changed_buckets,
+    record_snapshot,
+    snapshots,
+)
+
+
+def test_signatures_partitioning_independent(spark, small_files):
+    a = bucket_signatures(small_files, 16).collect()
+    b = bucket_signatures(small_files.repartition(13), 16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_changed_buckets_from_metadata_only(spark, small_files, tmp_path):
+    reg = str(tmp_path / "registry")
+    record_snapshot(small_files, reg, "snap1", n_buckets=16)
+
+    # today's snapshot: one modified doc + a dropped repo's rows
+    mod_key = small_files.select("repo", "path").first()
+    new = small_files.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == mod_key["repo"]) & (F.col("path") == mod_key["path"]),
+            F.concat(F.lit("X"), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    record_snapshot(new, reg, "snap2", n_buckets=16)
+
+    meta = {r.snapshot_id: r.n_rows for r in snapshots(spark, reg).collect()}
+    assert meta["snap1"] == meta["snap2"] == small_files.count()
+
+    got = {(r.bucket, r.change) for r in changed_buckets(spark, reg, "snap1", "snap2").collect()}
+    expected_bucket = small_files.filter(
+        (F.col("repo") == mod_key["repo"]) & (F.col("path") == mod_key["path"])
+    ).select(F.col("bucket").alias("b")).first()["b"]
+    assert got == {(expected_bucket, "modified")}
+
+
+def test_changed_buckets_clean_pair_is_empty(spark, small_files, tmp_path):
+    reg = str(tmp_path / "registry")
+    record_snapshot(small_files, reg, "s1", n_buckets=16)
+    record_snapshot(small_files.repartition(7), reg, "s2", n_buckets=16)
+    assert changed_buckets(spark, reg, "s1", "s2").count() == 0
+
+
+def test_count_only_change_detected(spark, small_files, tmp_path):
+    # a duplicated row keeps the xor signature identical (x ^ x ^ x = x)
+    # only if duplicated twice; the exact n_rows compare catches ANY
+    # multiplicity change regardless of xor cancellation
+    reg = str(tmp_path / "registry")
+    record_snapshot(small_files, reg, "s1", n_buckets=16)
+    one = small_files.limit(1)
+    record_snapshot(small_files.unionByName(one).unionByName(one), reg, "s2", n_buckets=16)
+    changes = changed_buckets(spark, reg, "s1", "s2").collect()
+    assert len(changes) == 1 and changes[0]["change"] == "modified"
+
+
+def test_metadata_driven_incremental_check(spark, small_files, tmp_path):
+    """End-to-end: the registry's changed_buckets feeds check_incremental
+    (dirty_buckets=...) — neither snapshot is rescanned for planning,
+    clean buckets carry verdicts, dirty buckets recompute."""
+    from opengauss_tools_datachecker_spark.plans.checkpoint import ControlTable
+    from opengauss_tools_datachecker_spark.plans.rule import CheckContext
+    from opengauss_tools_datachecker_spark.plans.runner import (
+        check_incremental,
+        run_suite,
+    )
+    from opengauss_tools_datachecker_spark.plans.rules import (
+        ContentSha256Rule,
+        UniquenessRule,
+    )
+
+    reg = str(tmp_path / "registry")
+    manifest = fx.manifest(small_files)
+    rules = [ContentSha256Rule(), UniquenessRule()]
+    rids = {r.rule_id for r in rules}
+    ctl = ControlTable(str(tmp_path / "ctl"))
+
+    def ctx(files):
+        return CheckContext(
+            spark=spark, files=files, manifest=manifest, n_buckets=8
+        )
+
+    r0 = run_suite(ctx(small_files), rules=rules, control=ctl, snapshot_id="s0")
+    assert not r0.failed
+    record_snapshot(small_files, reg, "s0", n_buckets=8)
+
+    one_repo = small_files.select("repo").first()["repo"]
+    new_files = small_files.withColumn(
+        "content",
+        F.when(
+            F.col("repo") == one_repo, F.concat(F.col("content"), F.lit("X"))
+        ).otherwise(F.col("content")),
+    )
+    record_snapshot(new_files, reg, "s1", n_buckets=8)
+
+    dirty = {r.bucket for r in changed_buckets(spark, reg, "s0", "s1").collect()}
+    expected_dirty = {
+        r["bucket"]
+        for r in small_files.filter(F.col("repo") == one_repo)
+        .select("bucket").distinct().collect()
+    }
+    assert dirty == expected_dirty
+
+    res = check_incremental(
+        ctx(new_files), None, ctl, old_snapshot_id="s0", snapshot_id="s1",
+        rules=rules, dirty_buckets=dirty,
+    )
+    assert res.skipped == {(b, rid) for b in set(range(8)) - dirty for rid in rids}
+    recomputed = {(b, r) for (b, r, _, _) in res.verdicts}
+    assert recomputed == {(b, rid) for b in dirty for rid in rids}
