@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--old-snapshot", help="snapshot id of --incremental-from")
     p.add_argument(
+        "--registry",
+        help="snapshot metadata registry dir (sources.snapshots): the "
+        "run records this snapshot's per-bucket signatures after "
+        "validating; with --old-snapshot (and without "
+        "--incremental-from) incremental planning reads CHANGED "
+        "buckets from the registry instead of rescanning the old "
+        "snapshot",
+    )
+    p.add_argument(
         "--max-violations", type=int, default=None,
         help="cap REPORTED violation rows per (bucket, rule); verdict "
         "counts stay exact (guards the report path against a "
@@ -184,11 +193,38 @@ def main(argv: list[str] | None = None) -> int:
                 old_snapshot_id=args.old_snapshot, snapshot_id=args.snapshot,
                 rules=rules,
             )
+        elif args.registry and args.old_snapshot:
+            if control is None:
+                raise ValueError("registry-driven incremental requires --control")
+            from opengauss_tools_datachecker_spark.plans.runner import check_incremental
+            from opengauss_tools_datachecker_spark.sources.snapshots import (
+                changed_buckets,
+                record_snapshot,
+            )
+
+            record_snapshot(files, args.registry, args.snapshot, args.buckets)
+            dirty = {
+                r.bucket
+                for r in changed_buckets(
+                    spark, args.registry, args.old_snapshot, args.snapshot
+                ).collect()
+            }
+            result = check_incremental(
+                ctx, None, control,
+                old_snapshot_id=args.old_snapshot, snapshot_id=args.snapshot,
+                rules=rules, dirty_buckets=dirty,
+            )
         else:
             result = run_suite(
                 ctx, rules=rules, control=control, snapshot_id=args.snapshot,
                 resume=not args.no_resume,
             )
+            if args.registry:
+                from opengauss_tools_datachecker_spark.sources.snapshots import (
+                    record_snapshot,
+                )
+
+                record_snapshot(files, args.registry, args.snapshot, args.buckets)
 
         # summary.log analog
         n_fail = sum(1 for (_, _, _, s) in result.verdicts if s == "FAIL")

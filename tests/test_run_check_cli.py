@@ -122,3 +122,24 @@ spark.stop()
              "--rules", "sha256")
     assert r.returncode == 1, r.stderr[-2000:]
     assert "FAIL bucket=" in r.stdout
+
+
+def test_cli_registry_driven_incremental(data, tmp_path_factory):
+    """Day 1: full run records registry metadata. Day 2: --registry +
+    --old-snapshot plans dirty buckets from recorded signatures (the
+    old snapshot table is NOT passed at all)."""
+    work = tmp_path_factory.mktemp("reg")
+    reg, ctl = work / "registry", work / "ctl"
+    r1 = _run("--files", data / "clean", "--manifest", data / "manifest",
+              "--rules", "sha256", "--control", ctl, "--snapshot", "d1",
+              "--registry", reg)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+
+    r2 = _run("--files", data / "files", "--manifest", data / "manifest",
+              "--rules", "sha256", "--control", ctl, "--snapshot", "d2",
+              "--registry", reg, "--old-snapshot", "d1")
+    assert r2.returncode == 1, r2.stderr[-2000:]
+    assert "resumed" in r2.stdout and "FAIL bucket=" in r2.stdout
+    # some clean buckets' verdicts carried forward (resumed > 0)
+    resumed = int(r2.stdout.split(" resumed")[0].rsplit(" ", 1)[-1])
+    assert resumed > 0
