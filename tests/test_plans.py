@@ -171,3 +171,34 @@ def test_violation_report_cap_keeps_counts_exact(spark, small_files):
     }
     assert all(n <= 3 for n in per_bucket.values())
     assert sum(per_bucket.values()) < n_expected  # genuinely capped
+
+
+def test_suite_edge_inputs(spark, small_files):
+    """Degenerate inputs must behave, not crash: empty observed side
+    flags every manifest key; empty-vs-empty passes; total corruption
+    flags exactly every row under sha256."""
+    from pyspark.sql import functions as F
+
+    from opengauss_tools_datachecker_spark import fixtures as fx
+    from opengauss_tools_datachecker_spark.plans.rule import CheckContext
+    from opengauss_tools_datachecker_spark.plans.runner import run_suite
+
+    manifest = fx.manifest(small_files)
+    empty = small_files.filter(F.lit(False))
+
+    res = run_suite(CheckContext(spark=spark, files=empty, manifest=manifest, n_buckets=8))
+    assert res.failed
+    assert res.violations.filter("rule_id = 'sha256'").count() == small_files.count()
+    res.unpersist_all()
+
+    res = run_suite(
+        CheckContext(spark=spark, files=empty, manifest=fx.manifest(empty), n_buckets=8)
+    )
+    assert not res.failed and res.violations.count() == 0
+    res.unpersist_all()
+
+    allbad = small_files.withColumn("content", F.concat(F.lit("X"), F.col("content")))
+    res = run_suite(CheckContext(spark=spark, files=allbad, manifest=manifest, n_buckets=8))
+    assert res.failed
+    assert res.violations.filter("rule_id = 'sha256'").count() == small_files.count()
+    res.unpersist_all()
