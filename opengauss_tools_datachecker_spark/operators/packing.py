@@ -38,6 +38,11 @@ def pack_sequences(
     ``pack_offset`` (token offset of this doc inside the concatenated
     stream, i.e. the cumsum BEFORE the doc). ``by`` columns shard the
     packing (each shard packs independently from pack 0).
+
+    ALWAYS pass ``by`` at scale: without it the cumulative sum is one
+    global window — a single-task sort of the whole corpus (Spark
+    warns "No Partition Defined for Window operation"). The unsharded
+    form exists for small data and tests only.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
