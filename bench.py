@@ -116,6 +116,10 @@ def main() -> None:
             _force(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # queries that persist internal frames re-persist per call;
+        # drop orphaned cache entries between queries so storage memory
+        # stays bounded across the 50-query sweep (outside the timing)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

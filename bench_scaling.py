@@ -241,7 +241,11 @@ def main() -> None:
         "scaling_efficiency_best": round(efficiency_best, 3),
         "hardware_ceiling_efficiency": round(hw_eff, 3),
         "software_efficiency_vs_ceiling": round(min(efficiency / hw_eff, 1.5), 3),
-        "passes_0_8": max(efficiency, efficiency_norm, efficiency_best) >= 0.8,
+        # a measurement-INVALID run cannot PASS: with zero hw-valid
+        # trials, the raw/best estimators come from the same distorted
+        # windows the gate just rejected
+        "passes_0_8": measurement_valid
+        and max(efficiency, efficiency_norm, efficiency_best) >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")

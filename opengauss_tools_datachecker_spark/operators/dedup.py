@@ -215,6 +215,30 @@ def band_rows(
     )
 
 
+def _pairs_from_bands(
+    bands: DataFrame, id_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Self-join already-materialized (id, band_key) rows into distinct
+    candidate pairs, dropping buckets above ``max_bucket_size``.
+    ``bands`` should already be persisted by the caller (the size pass
+    and both join sides read it)."""
+    bucket_sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
+    kept = bands.join(
+        bucket_sizes.filter(
+            (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)
+        ),
+        "band_key",
+    )
+    a = kept.select(F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = kept.select(F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -228,27 +252,11 @@ def lsh_candidate_pairs(
     Buckets above max_bucket_size are dropped (degenerate content —
     e.g. empty docs all hash alike); production logs them for review.
     """
-    bands = band_rows(signatures, id_col, n_hashes, band_size)
     # (id, band_key) is tiny (n_bands rows/doc, no content): cache it so
     # the bucket-size pass and both sides of the self-join reuse one
     # signature computation instead of three
-    bands = bands.persist()
-    # bucket sizes via aggregation (windowless, one shuffle on band_key)
-    bucket_sizes = bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
-    bands = bands.join(
-        bucket_sizes.filter(
-            (F.col("bsz") > 1) & (F.col("bsz") <= max_bucket_size)
-        ),
-        "band_key",
-    )
-    a = bands.select(F.col("band_key"), F.col(id_col).alias("id_a"))
-    b = bands.select(F.col("band_key"), F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    bands = band_rows(signatures, id_col, n_hashes, band_size).persist()
+    return _pairs_from_bands(bands, id_col, max_bucket_size)
 
 
 def minhash_estimate_pairs(
@@ -319,23 +327,36 @@ def probe_band_index(
     maintained with the index; passing it skips the full index scan
     the degenerate-bucket cap otherwise needs (at production scale you
     update it incrementally with each indexed batch).
+
+    The degenerate-bucket cap applies to the COMBINED occupancy
+    (new-batch count + index count) per band: a boilerplate band with
+    10^5 copies in the batch must not fan out against a sub-cap index
+    bucket any more than an oversized index bucket may fan out against
+    the batch. The combined check joins index stats to the (tiny)
+    per-batch band counts via broadcast, so the full index stats table
+    is never shuffled.
     """
     new_bands = band_rows(new_signatures, id_col, n_hashes, band_size).persist()
+    new_sizes = new_bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("ncnt"))
     if index_band_sizes is None:
         index_band_sizes = index.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
-    ok_index = index.join(
-        F.broadcast(index_band_sizes.filter(F.col("bsz") > max_bucket_size)),
-        "band_key",
-        "left_anti",
-    )
+    # index stats pruned to the batch's band keys (broadcast), then the
+    # combined cap names the bad keys — a small set by construction
+    relevant = index_band_sizes.join(F.broadcast(new_sizes), "band_key")
+    bad_keys = relevant.filter(
+        (F.col("ncnt") + F.col("bsz")) > max_bucket_size
+    ).select("band_key")
+    ok_new = new_bands.join(F.broadcast(bad_keys), "band_key", "left_anti")
     new_old = (
-        new_bands.join(ok_index.withColumnRenamed(id_col, "match_id"), "band_key")
+        ok_new.join(index.withColumnRenamed(id_col, "match_id"), "band_key")
         .select(F.col(id_col).alias("new_id"), "match_id")
         .distinct()
         .withColumn("origin", F.lit("new_old"))
     )
+    # within-batch pairs reuse the SAME persisted band rows — the
+    # minhash kernel runs once per batch, not once per arm
     new_new = (
-        lsh_candidate_pairs(new_signatures, id_col, n_hashes, band_size, max_bucket_size)
+        _pairs_from_bands(new_bands, id_col, max_bucket_size)
         .select(F.col("id_a").alias("new_id"), F.col("id_b").alias("match_id"))
         .withColumn("origin", F.lit("new_new"))
     )
@@ -600,30 +621,30 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 50) -> DataFrame:
     return labels.select(F.col("u").alias("doc_id"), F.col("lab").alias("cluster"))
 
 
-def ngram_jaccard_pairs(
+def _shingle_overlap_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_n: int = 3,
-    threshold: float = 0.8,
-    candidates: DataFrame | None = None,
+    shingle_n: int,
+    candidates: DataFrame | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity: (id_a, id_b, jaccard ≥ threshold).
+    """Shared verifier core: (id_a, id_b, n_inter, n_a, n_b) over
+    distinct shingle sets.
 
     With ``candidates`` (e.g. LSH output) verification touches ONLY the
     candidate docs' shingles: their doc-ids are semi-joined against the
     shingle rows BEFORE the self-join, so the quadratic within-shingle
     pair explosion is paid on the pruned set, not the full corpus — the
     production path. (A semi-join only on the aggregated pairs would
-    land above the shingle join and prune nothing.)
+    land above the shingle join and prune nothing.) Keeping every
+    shingle of each candidate doc means per-doc sizes and intersections
+    stay exact for the surviving pairs.
     """
     sh = distinct_shingle_rows(df, id_col, text_col, shingle_n)
     if candidates is not None:
         cand_ids = (
             candidates.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
         )
-        # keeps every shingle of each candidate doc, so per-doc sizes
-        # and intersections below are exact for the surviving pairs
         sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
@@ -638,18 +659,28 @@ def ngram_jaccard_pairs(
         inter = inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity: (id_a, id_b, jaccard ≥ threshold).
+    Plan shape and candidate pruning: :func:`_shingle_overlap_counts`.
+    """
+    counts = _shingle_overlap_counts(df, id_col, text_col, shingle_n, candidates)
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_containment_pairs(
@@ -665,39 +696,15 @@ def ngram_containment_pairs(
     The snippet-inclusion detector Jaccard is blind to: a 50-shingle
     doc fully embedded in a 5000-shingle doc has containment 1.0 but
     Jaccard ≈ 0.01 — exactly the quote/boilerplate/forked-file case a
-    training-data dedup pass must catch. Same plan shape as
-    :func:`ngram_jaccard_pairs` (shared shingle rows, optional
-    candidate semi-join BELOW the self-join), only the score differs.
-    Output: (id_a, id_b, containment) with id_a < id_b.
+    training-data dedup pass must catch. Same plan as
+    :func:`ngram_jaccard_pairs` (see :func:`_shingle_overlap_counts`),
+    only the score differs. Output: (id_a, id_b, containment).
     """
-    sh = distinct_shingle_rows(df, id_col, text_col, shingle_n)
-    if candidates is not None:
-        cand_ids = (
-            candidates.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
-        )
-        sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
-            ).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
-    )
+    counts = _shingle_overlap_counts(df, id_col, text_col, shingle_n, candidates)
+    return counts.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+        ).alias("containment"),
+    ).filter(F.col("containment") >= threshold)

@@ -84,12 +84,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--old-snapshot", help="snapshot id of --incremental-from")
     p.add_argument(
         "--registry",
-        help="snapshot metadata registry dir (sources.snapshots): the "
-        "run records this snapshot's per-bucket signatures after "
-        "validating; with --old-snapshot (and without "
-        "--incremental-from) incremental planning reads CHANGED "
-        "buckets from the registry instead of rescanning the old "
-        "snapshot",
+        help="snapshot metadata registry dir (sources.snapshots): every "
+        "run records this snapshot's per-bucket signatures AFTER the "
+        "suite completes (idempotent per snapshot); with "
+        "--old-snapshot (and without --incremental-from) incremental "
+        "planning reads CHANGED buckets from the registry instead of "
+        "rescanning the old snapshot",
     )
     p.add_argument(
         "--max-violations", type=int, default=None,
@@ -181,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
             },
         )
         control = ControlTable(args.control) if args.control else None
+        new_sigs = None  # registry planning reuses these for recording
         if args.incremental_from:
             if control is None or not args.old_snapshot:
                 raise ValueError(
@@ -198,15 +199,20 @@ def main(argv: list[str] | None = None) -> int:
                 raise ValueError("registry-driven incremental requires --control")
             from opengauss_tools_datachecker_spark.plans.runner import check_incremental
             from opengauss_tools_datachecker_spark.sources.snapshots import (
+                bucket_signatures,
                 changed_buckets,
-                record_snapshot,
             )
 
-            record_snapshot(files, args.registry, args.snapshot, args.buckets)
+            # plan from the NEW snapshot's in-memory signatures vs the
+            # registry's old rows — the snapshot is recorded only AFTER
+            # the run completes (below), so a crashed run never leaves
+            # its metadata behind
+            new_sigs = bucket_signatures(files, args.buckets).persist()
             dirty = {
                 r.bucket
                 for r in changed_buckets(
-                    spark, args.registry, args.old_snapshot, args.snapshot
+                    spark, args.registry, args.old_snapshot,
+                    new_signatures=new_sigs,
                 ).collect()
             }
             result = check_incremental(
@@ -219,12 +225,19 @@ def main(argv: list[str] | None = None) -> int:
                 ctx, rules=rules, control=control, snapshot_id=args.snapshot,
                 resume=not args.no_resume,
             )
-            if args.registry:
-                from opengauss_tools_datachecker_spark.sources.snapshots import (
-                    record_snapshot,
-                )
 
-                record_snapshot(files, args.registry, args.snapshot, args.buckets)
+        if args.registry:
+            # record after the suite finished (pass or FAIL verdicts —
+            # the signature describes the DATA, not the verdicts;
+            # a crashed run records nothing). Idempotent per snapshot.
+            from opengauss_tools_datachecker_spark.sources.snapshots import (
+                record_snapshot,
+            )
+
+            record_snapshot(
+                files, args.registry, args.snapshot, args.buckets,
+                signatures=new_sigs,
+            )
 
         # summary.log analog
         n_fail = sum(1 for (_, _, _, s) in result.verdicts if s == "FAIL")

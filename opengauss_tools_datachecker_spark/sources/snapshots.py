@@ -59,20 +59,33 @@ def record_snapshot(
     snapshot_id: str,
     n_buckets: int,
     content_col: str = "content",
+    signatures: DataFrame | None = None,
 ) -> None:
-    """Append one snapshot's bucket metadata to the registry."""
-    sigs = bucket_signatures(files, n_buckets, content_col)
+    """Record one snapshot's bucket metadata — IDEMPOTENT per snapshot.
+
+    Each snapshot writes its own partition directory
+    (``registry_path/snapshot_id=<id>``, mode=overwrite), so a crashed
+    and retried run replaces its rows instead of appending duplicates;
+    readers see ``snapshot_id`` as a partition column (and snapshot
+    filters prune to one directory). ``signatures`` short-circuits the
+    scan when :func:`bucket_signatures` was already computed (e.g. for
+    incremental planning).
+    """
+    sigs = (
+        signatures
+        if signatures is not None
+        else bucket_signatures(files, n_buckets, content_col)
+    )
     (
         sigs.select(
-            F.lit(snapshot_id).alias("snapshot_id"),
             "bucket",
             "n_rows",
             "sig",
             F.lit(int(time.time() * 1000)).alias("recorded_at"),
         )
         .coalesce(1)
-        .write.mode("append")
-        .parquet(registry_path)
+        .write.mode("overwrite")
+        .parquet(f"{registry_path}/snapshot_id={snapshot_id}")
     )
 
 
@@ -87,21 +100,47 @@ def snapshots(spark: SparkSession, registry_path: str) -> DataFrame:
     )
 
 
-def changed_buckets(
-    spark: SparkSession, registry_path: str, old_id: str, new_id: str
+def recorded_signatures(
+    spark: SparkSession, registry_path: str, snapshot_id: str
 ) -> DataFrame:
-    """Buckets whose content differs between two recorded snapshots —
+    """One recorded snapshot's (bucket, n_rows, sig) frame — a single
+    partition directory read."""
+    reg = spark.read.parquet(registry_path)
+    return reg.filter(F.col("snapshot_id") == snapshot_id).select(
+        "bucket", "n_rows", "sig"
+    )
+
+
+def changed_buckets(
+    spark: SparkSession,
+    registry_path: str,
+    old_id: str,
+    new_id: str | None = None,
+    new_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Buckets whose content differs between two snapshots —
     (bucket, change) with change ∈ {'added','removed','modified'} —
     from metadata alone (no data scan).
 
-    The planning primitive for `check_incremental`: clean buckets keep
-    their carried verdicts; only the buckets named here are rescanned.
+    The new side is either a recorded snapshot (``new_id``) or a
+    not-yet-recorded :func:`bucket_signatures` frame
+    (``new_signatures``) — the latter lets a run PLAN its dirty buckets
+    before validating, and record the signatures only after the run
+    completes. The planning primitive for `check_incremental`: clean
+    buckets keep their carried verdicts; only the buckets named here
+    are rescanned.
     """
-    reg = spark.read.parquet(registry_path)
-    a = reg.filter(F.col("snapshot_id") == old_id).select(
+    if (new_id is None) == (new_signatures is None):
+        raise ValueError("exactly one of new_id / new_signatures is required")
+    a = recorded_signatures(spark, registry_path, old_id).select(
         "bucket", F.col("n_rows").alias("n_a"), F.col("sig").alias("sig_a")
     )
-    b = reg.filter(F.col("snapshot_id") == new_id).select(
+    new_side = (
+        recorded_signatures(spark, registry_path, new_id)
+        if new_id is not None
+        else new_signatures
+    )
+    b = new_side.select(
         "bucket", F.col("n_rows").alias("n_b"), F.col("sig").alias("sig_b")
     )
     j = a.join(b, "bucket", "full_outer")

@@ -117,3 +117,16 @@ def test_metadata_driven_incremental_check(spark, small_files, tmp_path):
     assert res.skipped == {(b, rid) for b in set(range(8)) - dirty for rid in rids}
     recomputed = {(b, r) for (b, r, _, _) in res.verdicts}
     assert recomputed == {(b, rid) for b in dirty for rid in rids}
+
+
+def test_record_snapshot_retry_is_idempotent(spark, small_files, tmp_path):
+    """A crashed-and-retried run must replace its snapshot's metadata,
+    not append duplicates (per-snapshot partition dir, overwrite)."""
+    reg = str(tmp_path / "registry")
+    record_snapshot(small_files, reg, "s1", n_buckets=16)
+    record_snapshot(small_files, reg, "s1", n_buckets=16)  # retry
+    meta = snapshots(spark, reg).collect()
+    assert len(meta) == 1
+    assert meta[0]["n_rows"] == small_files.count()
+    record_snapshot(small_files, reg, "s2", n_buckets=16)
+    assert changed_buckets(spark, reg, "s1", "s2").count() == 0
