@@ -313,3 +313,24 @@ def test_probe_band_index_caps_degenerate_bucket(spark):
     assert capped.filter("origin = 'new_old'").count() == 0
     uncapped = dedup.probe_band_index(new_sigs, index, "doc_id", max_bucket_size=1000)
     assert uncapped.filter("origin = 'new_old'").count() == 30
+
+
+def test_probe_band_index_broadcasts_small_sides(spark):
+    """Scale property: the combined-cap stats join and the bad-key
+    exclusion reach the plan as broadcast joins — the full index stats
+    are never shuffled against the batch."""
+    old = spark.createDataFrame(
+        [(i, f"doc body {i} unique words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    index = dedup.band_rows(
+        dedup.minhash_signatures(old, "doc_id", "text"), "doc_id"
+    ).cache()
+    new = spark.createDataFrame([(100, "doc body 3 unique words")], "doc_id long, text string")
+    plan = (
+        dedup.probe_band_index(
+            dedup.minhash_signatures(new, "doc_id", "text"), index, "doc_id"
+        )._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # broadcast hints survive into the optimized plan
+    assert plan.count("LeftAnti") >= 1

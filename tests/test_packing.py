@@ -60,3 +60,15 @@ def test_pack_budget_validation(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tok", budget=0)
+
+
+def test_pack_sequences_sharded_plan_single_exchange(spark):
+    # the scale property: sharded packing is ONE hash exchange on the
+    # shard cols + a sort-based window — no extra shuffles sneak in
+    rows = [(s, i, 10) for s in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "shard string, doc_id long, n_tok long")
+    plan = (
+        pack_sequences(df, "doc_id", "n_tok", budget=64, by=["shard"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
