@@ -45,3 +45,31 @@ def test_like_to_regex_agrees_with_duckdb(text, pattern):
     got = bool(like_to_regex(pattern).match(text))
     want = bool(duck_like(text, pattern))
     assert got == want, f"text={text!r} pattern={pattern!r} ours={got} duckdb={want}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    fracs=st.lists(st.integers(min_value=1, max_value=100), min_size=2, max_size=6)
+)
+def test_split_thresholds_partition_the_hash_space(fracs):
+    """Property: for any valid split spec, the cumulative hex bounds are
+    monotonic, the last bound covers the whole space, and every 8-hex
+    prefix lands in exactly one split (no gaps, no overlaps)."""
+    from opengauss_tools_datachecker_spark.operators.contamination import (
+        split_thresholds,
+    )
+
+    total = sum(fracs)
+    splits = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    # fix float-sum drift so the spec is valid
+    drift = 1.0 - sum(splits.values())
+    splits[f"s{len(fracs) - 1}"] += drift
+    bounds = split_thresholds(splits)
+    hexes = [b for _, b in bounds]
+    assert hexes == sorted(hexes)
+    assert hexes[-1] == f"{16**8:09x}"
+    # a few probe prefixes, including the extremes
+    for p in ("000000000", "0ffffffff", "080000000", f"{16**8 - 1:09x}"):
+        owners = [name for (name, b), prev in zip(bounds, ["0" * 9] + hexes[:-1])
+                  if prev <= p < b]
+        assert len(owners) == 1, (p, bounds)
