@@ -324,9 +324,14 @@ def probe_band_index(
     enters through matching buckets.
 
     ``index_band_sizes`` is the per-band count table ((band_key, bsz))
-    maintained with the index; passing it skips the full index scan
-    the degenerate-bucket cap otherwise needs (at production scale you
-    update it incrementally with each indexed batch).
+    maintained with the index (:func:`index_batch` updates it per
+    indexed batch); passing it skips the full index scan the
+    degenerate-bucket cap otherwise needs. Stats keys MISSING for a
+    batch band key are treated as UNKNOWN, not zero: those keys'
+    counts are recomputed from the index itself (a semi-joined recount
+    over just the uncovered keys), so a stale or partial stats table
+    can never silently exempt a band from the cap and restore the
+    unbounded new×index fan-out the cap exists to prevent.
 
     The degenerate-bucket cap applies to the COMBINED occupancy
     (new-batch count + index count) per band: a boilerplate band with
@@ -337,9 +342,28 @@ def probe_band_index(
     is never shuffled.
     """
     new_bands = band_rows(new_signatures, id_col, n_hashes, band_size).persist()
-    new_sizes = new_bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("ncnt"))
+    # both the covered/uncovered split and the combined cap read these —
+    # one tiny aggregation, not one per consumer
+    new_sizes = (
+        new_bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("ncnt")).persist()
+    )
     if index_band_sizes is None:
         index_band_sizes = index.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
+    else:
+        # batch band keys the stats table doesn't cover are UNKNOWN —
+        # recount them from the index (semi-join bounds the rescan to
+        # the uncovered keys, a small set when stats are near-complete)
+        uncovered = new_sizes.join(
+            index_band_sizes, "band_key", "left_anti"
+        ).select("band_key")
+        recounted = (
+            index.join(F.broadcast(uncovered), "band_key")
+            .groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+        )
+        index_band_sizes = index_band_sizes.select("band_key", "bsz").unionByName(
+            recounted
+        )
     # index stats pruned to the batch's band keys (broadcast), then the
     # combined cap names the bad keys — a small set by construction
     relevant = index_band_sizes.join(F.broadcast(new_sizes), "band_key")
@@ -639,13 +663,20 @@ def _shingle_overlap_counts(
     land above the shingle join and prune nothing.) Keeping every
     shingle of each candidate doc means per-doc sizes and intersections
     stay exact for the surviving pairs.
+
+    The candidate semi-joins carry NO forced broadcast hint: the
+    candidate set is corpus-dependent LSH output, and in a heavy
+    near-dup regime it can outgrow broadcast capacity — a forced hint
+    would then FAIL the job, where a plain semi-join degrades to a
+    shuffle join and AQE still runtime-broadcasts whenever the built
+    side is actually small (the common case).
     """
     sh = distinct_shingle_rows(df, id_col, text_col, shingle_n)
     if candidates is not None:
         cand_ids = (
             candidates.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
         )
-        sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        sh = sh.join(cand_ids, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "sh")
     b = sh.select(F.col("doc_id").alias("id_b"), "sh")
@@ -656,7 +687,7 @@ def _shingle_overlap_counts(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     if candidates is not None:
-        inter = inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return inter.join(sa, "id_a").join(sb, "id_b")

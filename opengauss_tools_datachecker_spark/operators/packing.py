@@ -13,9 +13,12 @@ Scale shape: packing is per-shard (``by`` cols, e.g. the hash-split ×
 bucket) so the window partitions are bounded; within a shard the
 cumsum is one sort-based window — at 10^12 docs shards stay ~corpus /
 (#splits × #buckets) and the whole operator is a single shuffle.
-Determinism: ordering is (order_col, id) — stable under repartitioning
-and engine-portable, so a DuckDB windowed-sum replay is byte-exact
-(token counts are integers).
+Determinism: ordering is ``id_col`` within the shard — stable under
+repartitioning and engine-portable, so a DuckDB windowed-sum replay is
+byte-exact (token counts are integers). ``id_col`` must therefore be
+UNIQUE per shard (a primary key, or a composite/tiebroken column built
+by the caller): duplicate ids leave the window order — and with it
+pack_id/pack_offset — engine- and run-dependent.
 """
 
 from __future__ import annotations

@@ -455,43 +455,48 @@ SELECT CAST(60 AS INT), id_a, id_b, hamming FROM (
   WHERE hamming <= 3)
 """
 
-ORACLES["q_ngram_jaccard"] = f"""
+# exact verifiers, both gate arms: 'full' is the corpus-wide exact
+# score set; 'pruned' is the SAME score set restricted to the LSH
+# candidate pairs — exactly what the Spark operator's candidates= path
+# computes (it keeps every shingle of each candidate doc, so per-doc
+# sizes and intersections are unchanged for the surviving pairs)
+
+
+def _verifier_sql(score_expr: str, score_name: str) -> str:
+    return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, list_distinct({_shingle3()}) AS s FROM toks WHERE len(w) >= 3),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT * FROM (
-  SELECT id_a, id_b,
-         ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b)
-WHERE jaccard >= 0.8
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+full_pairs AS (
+  SELECT * FROM (
+    SELECT id_a, id_b, {score_expr} AS {score_name}
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b)
+  WHERE {score_name} >= 0.8),
+cand AS ({{cand_sql}})
+SELECT 'full' AS kind, id_a, id_b, {score_name} FROM full_pairs
+UNION ALL
+SELECT 'pruned' AS kind, f.id_a, f.id_b, f.{score_name}
+FROM full_pairs f JOIN cand c ON f.id_a = c.id_a AND f.id_b = c.id_b
 """
 
-# asymmetric containment: same shingle chain, score = inter / min size
-ORACLES["q_containment"] = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-sh AS (SELECT doc_id, list_distinct({_shingle3()}) AS s FROM toks WHERE len(w) >= 3),
-ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT * FROM (
-  SELECT id_a, id_b,
-         ROUND(CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b)
-WHERE containment >= 0.8
-"""
+
+ORACLES["q_ngram_jaccard"] = _verifier_sql(
+    "ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)", "jaccard"
+).format(cand_sql=_minhash_sql())
+
+ORACLES["q_containment"] = _verifier_sql(
+    "ROUND(CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6)", "containment"
+).format(cand_sql=_minhash_sql())
 
 # character-unigram entropy: per-doc char histogram via position
 # unnest; ROUND(...,6) + 0.0 matches the kernel's round + -0.0
 # normalization; NULL/empty docs carried with integer zeros
-ORACLES["q_char_entropy"] = """
+_CHAR_ENTROPY_SQL = """
 WITH chars AS (
   SELECT doc_id,
          unnest(list_transform(range(1, length(text) + 1),
@@ -558,7 +563,7 @@ SELECT 'keep', CAST(-1 AS BIGINT), doc_id, CAST(-1 AS BIGINT) FROM tr_toks
 WHERE doc_id NOT IN (SELECT train_id FROM pairs WHERE n_overlap >= 2)
 """
 
-ORACLES["q_token_stats"] = f"""
+_TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS INT) AS n_tokens,
        CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
@@ -566,7 +571,7 @@ SELECT doc_id,
 FROM documents
 """
 
-ORACLES["q_lang_id"] = f"""
+_LANG_ID_SQL = f"""
 SELECT doc_id, lang, en_score,
        CASE WHEN en_score > 0.03 THEN 'en' ELSE 'other' END AS predicted
 FROM (
@@ -576,7 +581,7 @@ FROM (
   FROM documents)
 """
 
-ORACLES["q_quality"] = f"""
+_QUALITY_SQL = f"""
 SELECT doc_id, ROUND((
     (CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
   + (CASE WHEN CAST(length(text) AS DOUBLE) / GREATEST(len(w), 1) >= 2.0
@@ -587,6 +592,84 @@ SELECT doc_id, ROUND((
 ) / 3.0, 6) AS quality
 FROM (SELECT doc_id, text, {_TOKS} AS w FROM documents)
 """
+
+# all four per-doc text scores in one frame keyed by `signal` — the
+# same fragments as the standalone scores, shaped to the Spark arm's
+# NULL-free, type-uniform (s1,s2 varchar; v1..v3 double) schema
+ORACLES["q_text_signals"] = f"""
+SELECT 'tokens' AS signal, doc_id, '' AS s1, '' AS s2,
+       CAST(n_tokens AS DOUBLE) AS v1, CAST(n_words AS DOUBLE) AS v2, 0.0 AS v3
+FROM ({_TOKEN_STATS_SQL})
+UNION ALL
+SELECT 'lang', doc_id, lang, predicted, en_score, 0.0, 0.0
+FROM ({_LANG_ID_SQL})
+UNION ALL
+SELECT 'quality', doc_id, '', '', quality, 0.0, 0.0
+FROM ({_QUALITY_SQL})
+UNION ALL
+SELECT 'entropy', doc_id, '', '', entropy_bits,
+       CAST(n_chars_obs AS DOUBLE), CAST(n_distinct AS DOUBLE)
+FROM ({_CHAR_ENTROPY_SQL})
+"""
+
+# sequence packing: identical windowed cumulative sum — pack_offset is
+# the token cumsum BEFORE the doc within its (lang, doc_id-ordered)
+# shard, pack_id = floor(offset / budget)
+ORACLES["q_pack"] = f"""
+WITH c AS (SELECT lang, doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents)
+SELECT lang, doc_id, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS pack_offset,
+       CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS DOUBLE) / 2048) AS INT)
+         AS pack_id
+FROM c
+WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def _probe_index_sql(cap: int = 1000) -> str:
+    """Incremental band-index probe twin: even doc_ids are the index,
+    odd doc_ids the new batch. Mirrors dedup.probe_band_index exactly —
+    the combined (batch + index) occupancy cap names bad band keys
+    (inner join: keys absent from the index are never capped, the index
+    contributes 0 there), new_old joins the surviving new bands to the
+    index, new_new pairs come from the batch's own bands under the
+    batch-only bucket-size rule of _pairs_from_bands."""
+    mh_cols = ",\n       ".join(
+        f"list_min(list_transform(s, x -> md5('mh{j}_' || x))) AS mh{j}" for j in range(8)
+    )
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, concat_ws('#', '{b}', mh{2 * b}, mh{2 * b + 1}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_shingle3()} AS s FROM toks WHERE len(w) >= 3),
+sig AS (SELECT doc_id,
+       {mh_cols}
+       FROM sh),
+bands AS ({band_selects}),
+old_b AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+new_b AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+nsz AS (SELECT band_key, COUNT(*) AS ncnt FROM new_b GROUP BY 1),
+isz AS (SELECT band_key, COUNT(*) AS bsz FROM old_b GROUP BY 1),
+bad AS (SELECT band_key FROM nsz JOIN isz USING (band_key)
+        WHERE ncnt + bsz > {cap}),
+okn AS (SELECT * FROM new_b WHERE band_key NOT IN (SELECT band_key FROM bad)),
+new_old AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS match_id
+            FROM okn n JOIN old_b o USING (band_key)),
+nkeep AS (SELECT band_key FROM nsz WHERE ncnt > 1 AND ncnt <= {cap}),
+fnew AS (SELECT b.doc_id, b.band_key FROM new_b b JOIN nkeep USING (band_key)),
+new_new AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id
+            FROM fnew a JOIN fnew b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT new_id, match_id, 'new_old' AS origin FROM new_old
+UNION ALL
+SELECT new_id, match_id, 'new_new' AS origin FROM new_new
+"""
+
+
+ORACLES["q_probe_index"] = _probe_index_sql()
 
 ORACLES["q_top_tokens"] = f"""
 WITH tok AS (SELECT lang, unnest(list_distinct({_TOKS})) AS token FROM documents),

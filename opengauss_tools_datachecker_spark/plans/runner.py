@@ -316,8 +316,10 @@ def check_incremental(
     ``dirty_buckets`` (e.g. from the snapshot metadata registry's
     :func:`sources.snapshots.changed_buckets`) skips the
     ``snapshot_diff`` scan of both snapshots entirely — bucket-level
-    change planning from recorded signatures, no data read outside the
-    dirty buckets. ``old_files`` may then be None.
+    change planning from recorded signatures: the OLD snapshot is never
+    re-read (planning costs one signature pass over the new snapshot
+    plus a metadata-sized registry read), and rule execution then scans
+    only the dirty buckets. ``old_files`` may then be None.
     """
     from opengauss_tools_datachecker_spark.fixtures import bucket_of
     from opengauss_tools_datachecker_spark.operators.checksum import snapshot_diff

@@ -212,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
                 r.bucket
                 for r in changed_buckets(
                     spark, args.registry, args.old_snapshot,
-                    new_signatures=new_sigs,
+                    new_signatures=new_sigs, n_buckets=args.buckets,
                 ).collect()
             }
             result = check_incremental(
@@ -238,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
                 files, args.registry, args.snapshot, args.buckets,
                 signatures=new_sigs,
             )
+            if new_sigs is not None:
+                new_sigs.unpersist()
 
         # summary.log analog
         n_fail = sum(1 for (_, _, _, s) in result.verdicts if s == "FAIL")

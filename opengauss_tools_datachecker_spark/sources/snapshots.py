@@ -5,10 +5,18 @@ BASELINE.json's production target is Iceberg, whose metadata tables
 WITHOUT scanning data. That runtime jar is not in this image, so this
 module provides the same capability over plain parquet with identical
 call shape: each validated snapshot records one metadata row per
-bucket — exact row count plus an order-independent content signature
-(bit_xor of xxhash64(keys ‖ content digest), the same signature family
-the sha256 rule's Merkle fast path uses) — and incremental planning
-then diffs SIGNATURES, not data.
+bucket — exact row count plus an order-independent content signature —
+and incremental planning then diffs SIGNATURES, not data.
+
+The signature is the MULTISET-sensitive sum of xxhash64(keys ‖ content
+digest) accumulated in a decimal (commutative/associative like bit_xor,
+so partitioning-independent, but a duplicated-row swap {X,X}→{Y,Y}
+changes it where XOR cancels even multiplicities — duplicate rows are
+an expected anomaly here, the uniqueness rule exists to catch them).
+Decimal, not long: the sum must never overflow (ANSI mode would throw,
+legacy mode would wrap identically on both sides but NULL on decimal),
+and decimal(28,0) inputs give the sum 10 carry digits — ~10^19 rows per
+bucket before saturation.
 
 Scale shape: recording is one map-side-combined aggregation over the
 snapshot being validated (output = n_buckets rows); `changed_buckets`
@@ -18,11 +26,15 @@ metadata reads instead of two table scans — `runner.check_incremental`
 scans data only inside the buckets this diff names.
 
 Registry layout: a parquet directory, appended per snapshot:
-(snapshot_id, bucket, n_rows, sig, recorded_at).
+(snapshot_id, bucket, n_rows, sig, n_buckets, recorded_at).
+``n_buckets`` is recorded so a day-2 run with a different --buckets
+than day-1 is REJECTED instead of silently misaligning dirty-bucket
+planning (bucket ids are only comparable at equal bucket counts).
 """
 
 from __future__ import annotations
 
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,9 +48,11 @@ def bucket_signatures(
 ) -> DataFrame:
     """(bucket, n_rows, sig) for one snapshot — one combined agg pass.
 
-    ``sig`` is order- and partitioning-independent (bit_xor is
-    commutative/associative), so two snapshots with identical rows
-    produce identical signatures regardless of how either was written.
+    ``sig`` is order- and partitioning-independent (sum is commutative/
+    associative), so two snapshots with identical row MULTISETS produce
+    identical signatures regardless of how either was written — and any
+    multiset change (including duplicated-row swaps that XOR would
+    cancel) changes it. See the module header for the decimal rationale.
     """
     bucket = (
         F.col("bucket") if "bucket" in files.columns else bucket_of("repo", n_buckets)
@@ -46,11 +60,27 @@ def bucket_signatures(
     return (
         files.select(
             bucket.alias("bucket"),
-            F.xxhash64(*KEY_COLS, F.sha2(F.col(content_col), 256)).alias("_h"),
+            F.xxhash64(*KEY_COLS, F.sha2(F.col(content_col), 256))
+            .cast("decimal(28,0)")
+            .alias("_h"),
         )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_rows"), F.bit_xor("_h").alias("sig"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("_h").alias("sig"))
     )
+
+
+#: snapshot ids become partition DIRECTORY names — restrict to a safe
+#: charset so '/', '=', spaces or a '..' segment can't corrupt the
+#: registry layout or escape the registry root
+_SAFE_SNAPSHOT_ID = re.compile(r"[A-Za-z0-9._-]+")
+
+
+def _check_snapshot_id(snapshot_id: str) -> None:
+    if not _SAFE_SNAPSHOT_ID.fullmatch(snapshot_id) or snapshot_id in (".", ".."):
+        raise ValueError(
+            f"snapshot_id {snapshot_id!r} is not a safe partition name "
+            "(allowed: [A-Za-z0-9._-]+, not '.' or '..')"
+        )
 
 
 def record_snapshot(
@@ -69,8 +99,10 @@ def record_snapshot(
     readers see ``snapshot_id`` as a partition column (and snapshot
     filters prune to one directory). ``signatures`` short-circuits the
     scan when :func:`bucket_signatures` was already computed (e.g. for
-    incremental planning).
+    incremental planning). ``n_buckets`` is stored with the rows so a
+    later run at a different bucket count is rejected, not misplanned.
     """
+    _check_snapshot_id(snapshot_id)
     sigs = (
         signatures
         if signatures is not None
@@ -81,6 +113,7 @@ def record_snapshot(
             "bucket",
             "n_rows",
             "sig",
+            F.lit(int(n_buckets)).alias("n_buckets"),
             F.lit(int(time.time() * 1000)).alias("recorded_at"),
         )
         .coalesce(1)
@@ -95,7 +128,8 @@ def snapshots(spark: SparkSession, registry_path: str) -> DataFrame:
     reg = spark.read.parquet(registry_path)
     return reg.groupBy("snapshot_id").agg(
         F.sum("n_rows").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n_buckets").alias("n_buckets"),
+        F.count(F.lit(1)).alias("n_buckets_present"),
         F.max("recorded_at").alias("recorded_at"),
     )
 
@@ -111,12 +145,25 @@ def recorded_signatures(
     )
 
 
+def _recorded_n_buckets(spark: SparkSession, registry_path: str, snapshot_id: str) -> int:
+    row = (
+        spark.read.parquet(registry_path)
+        .filter(F.col("snapshot_id") == snapshot_id)
+        .select("n_buckets")
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"snapshot {snapshot_id!r} has no rows in the registry")
+    return int(row["n_buckets"])
+
+
 def changed_buckets(
     spark: SparkSession,
     registry_path: str,
     old_id: str,
     new_id: str | None = None,
     new_signatures: DataFrame | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Buckets whose content differs between two snapshots —
     (bucket, change) with change ∈ {'added','removed','modified'} —
@@ -124,14 +171,35 @@ def changed_buckets(
 
     The new side is either a recorded snapshot (``new_id``) or a
     not-yet-recorded :func:`bucket_signatures` frame
-    (``new_signatures``) — the latter lets a run PLAN its dirty buckets
-    before validating, and record the signatures only after the run
-    completes. The planning primitive for `check_incremental`: clean
-    buckets keep their carried verdicts; only the buckets named here
-    are rescanned.
+    (``new_signatures``, which then requires ``n_buckets`` — the count
+    the frame was bucketed with) — the latter lets a run PLAN its dirty
+    buckets before validating, and record the signatures only after the
+    run completes. The planning primitive for `check_incremental`:
+    clean buckets keep their carried verdicts; only the buckets named
+    here are rescanned.
+
+    Raises ValueError when the two sides were bucketed with different
+    counts: bucket ids are only comparable at equal ``n_buckets``, and
+    a silent mismatch would misplan the dirty set.
     """
     if (new_id is None) == (new_signatures is None):
         raise ValueError("exactly one of new_id / new_signatures is required")
+    old_nb = _recorded_n_buckets(spark, registry_path, old_id)
+    if new_id is not None:
+        new_nb = _recorded_n_buckets(spark, registry_path, new_id)
+    else:
+        if n_buckets is None:
+            raise ValueError(
+                "pass n_buckets with new_signatures so bucket-count "
+                "mismatches are rejected, not misplanned"
+            )
+        new_nb = int(n_buckets)
+    if old_nb != new_nb:
+        raise ValueError(
+            f"bucket-count mismatch: snapshot {old_id!r} was recorded with "
+            f"n_buckets={old_nb}, the new side uses {new_nb}; re-bucket or "
+            "run a full (non-incremental) validation"
+        )
     a = recorded_signatures(spark, registry_path, old_id).select(
         "bucket", F.col("n_rows").alias("n_a"), F.col("sig").alias("sig_a")
     )

@@ -315,6 +315,67 @@ def test_probe_band_index_caps_degenerate_bucket(spark):
     assert uncapped.filter("origin = 'new_old'").count() == 30
 
 
+def test_probe_band_index_partial_stats_still_caps(spark):
+    """A stale/partial stats table must not exempt a band from the cap:
+    batch band keys missing from the stats are recounted from the index
+    itself (unknown != zero)."""
+    boiler = "same same same same same"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    old_sigs = dedup.minhash_signatures(old, "doc_id", "text")
+    index = dedup.band_rows(old_sigs, "doc_id").cache()
+    # stats covering NONE of the batch's band keys — the old behavior
+    # silently exempted them and restored the unbounded fan-out
+    empty_stats = spark.createDataFrame([], "band_key string, bsz long")
+
+    new = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    new_sigs = dedup.minhash_signatures(new, "doc_id", "text")
+    capped = dedup.probe_band_index(
+        new_sigs, index, "doc_id", max_bucket_size=10, index_band_sizes=empty_stats
+    )
+    assert capped.filter("origin = 'new_old'").count() == 0
+    # and a complete stats table still behaves identically
+    sizes = index.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
+    full = dedup.probe_band_index(
+        new_sigs, index, "doc_id", max_bucket_size=10, index_band_sizes=sizes
+    )
+    assert full.filter("origin = 'new_old'").count() == 0
+
+
+def test_verifier_candidates_unforced_broadcast_completes(spark):
+    """Scale property: the exact verifiers' candidate semi-joins carry
+    no forced broadcast hint, so with broadcast disabled (the stand-in
+    for 'candidate frame outgrew broadcast capacity') the plan degrades
+    to a shuffle semi-join and still returns the same pairs."""
+    base = " ".join(f"token{i} word{i * 7 % 13}" for i in range(25))
+    df = spark.createDataFrame(
+        [(0, base), (1, base.replace("token12", "CHANGED")), (2, "spark " * 30)],
+        "doc_id long, text string",
+    )
+    cand = dedup.minhash_dedup(df, "doc_id", "text")
+    want = sorted(
+        map(tuple, dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, candidates=cand
+        ).collect())
+    )
+    assert want  # the fixture does produce a verified pair
+    conf = spark.conf
+    old_static = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        q = dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, candidates=cand
+        )
+        assert sorted(map(tuple, q.collect())) == want
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan  # degraded, not failed
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_probe_band_index_broadcasts_small_sides(spark):
     """Scale property: the combined-cap stats join and the bad-key
     exclusion reach the plan as broadcast joins — the full index stats

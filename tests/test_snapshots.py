@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from opengauss_tools_datachecker_spark import fixtures as fx
@@ -52,15 +53,67 @@ def test_changed_buckets_clean_pair_is_empty(spark, small_files, tmp_path):
 
 
 def test_count_only_change_detected(spark, small_files, tmp_path):
-    # a duplicated row keeps the xor signature identical (x ^ x ^ x = x)
-    # only if duplicated twice; the exact n_rows compare catches ANY
-    # multiplicity change regardless of xor cancellation
+    # multiplicity changes move BOTH the sum signature and n_rows; the
+    # exact n_rows compare is the belt-and-braces second check
     reg = str(tmp_path / "registry")
     record_snapshot(small_files, reg, "s1", n_buckets=16)
     one = small_files.limit(1)
     record_snapshot(small_files.unionByName(one).unionByName(one), reg, "s2", n_buckets=16)
     changes = changed_buckets(spark, reg, "s1", "s2").collect()
     assert len(changes) == 1 and changes[0]["change"] == "modified"
+
+
+def test_duplicated_row_swap_changes_signature(spark, small_files, tmp_path):
+    """{X,X} -> {Y,Y} inside one bucket preserves the row count and
+    cancels under a XOR combiner; the multiset-sensitive sum signature
+    must flag the bucket (duplicate rows are an expected anomaly — the
+    uniqueness rule exists to catch them, so the registry may not go
+    blind to them)."""
+    reg = str(tmp_path / "registry")
+    x = small_files.limit(1)
+    key = x.first()
+    snap_a = small_files.unionByName(x)  # X appears twice
+    y = x.withColumn("content", F.concat(F.lit("Y"), F.col("content")))
+    rest = small_files.filter(
+        ~(
+            (F.col("repo") == key["repo"])
+            & (F.col("path") == key["path"])
+            & (F.col("commit") == key["commit"])
+        )
+    )
+    snap_b = rest.unionByName(y).unionByName(y)  # Y appears twice
+    assert snap_a.count() == snap_b.count()
+    record_snapshot(snap_a, reg, "sa", n_buckets=16)
+    record_snapshot(snap_b, reg, "sb", n_buckets=16)
+    changes = changed_buckets(spark, reg, "sa", "sb").collect()
+    assert len(changes) == 1 and changes[0]["change"] == "modified"
+
+
+def test_snapshot_id_charset_rejected(spark, small_files, tmp_path):
+    """Ids become partition directory names: path metacharacters and
+    dot-segments must be rejected before they corrupt the layout."""
+    for bad in ("a/b", "a=b", "a b", "..", ""):
+        with pytest.raises(ValueError):
+            record_snapshot(small_files, str(tmp_path / "r"), bad, n_buckets=8)
+
+
+def test_bucket_count_mismatch_rejected(spark, small_files, tmp_path):
+    """Bucket ids are only comparable at equal n_buckets — a day-2 run
+    with a different --buckets must fail loudly, not misplan."""
+    reg = str(tmp_path / "registry")
+    record_snapshot(small_files, reg, "s8", n_buckets=8)
+    record_snapshot(small_files, reg, "s16", n_buckets=16)
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        changed_buckets(spark, reg, "s8", "s16")
+    sigs = bucket_signatures(small_files, 16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        changed_buckets(spark, reg, "s8", new_signatures=sigs)
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        changed_buckets(spark, reg, "s8", new_signatures=sigs, n_buckets=16)
+    assert (
+        changed_buckets(spark, reg, "s16", new_signatures=sigs, n_buckets=16).count()
+        == 0
+    )
 
 
 def test_metadata_driven_incremental_check(spark, small_files, tmp_path):
