@@ -1,0 +1,87 @@
+"""CLI: incremental LSH near-dup index maintenance + probing.
+
+The daily-ingest companion to run_check.py: each arriving document
+batch is MinHash-signed once, its (id, band_key) rows appended to a
+persistent band index, and its per-band counts folded into the index's
+stats table — so probing day N+1 against a 10^12-doc corpus costs
+O(new bands ⋈ index) with the degenerate-bucket cap fed from metadata,
+never an index rescan (operators/dedup.py: index_batch /
+probe_band_index).
+
+Example:
+    spark-submit dedup_index.py index --docs /data/day1 --index /idx --batch-id day1
+    spark-submit dedup_index.py index --docs /data/day2 --index /idx --batch-id day2
+    spark-submit dedup_index.py probe --docs /data/day3 --index /idx --out /idx_hits
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# script-mode shim: when launched as `spark-submit .../dedup_index.py`
+# the package root isn't on sys.path (cluster deploys use --py-files)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="incremental LSH band index")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--docs", required=True, help="documents parquet path")
+        sp.add_argument("--index", required=True, help="band index root dir")
+        sp.add_argument("--id-col", default="doc_id")
+        sp.add_argument("--text-col", default="text")
+        sp.add_argument("--n-hashes", type=int, default=8)
+        sp.add_argument("--band-size", type=int, default=2)
+        sp.add_argument("--master", default=None)
+
+    ix = sub.add_parser("index", help="sign one batch and append it to the index")
+    common(ix)
+    ix.add_argument("--batch-id", required=True)
+
+    pr = sub.add_parser("probe", help="probe a new batch against the index")
+    common(pr)
+    pr.add_argument("--max-bucket-size", type=int, default=1000)
+    pr.add_argument("--out", help="write (new_id, match_id, origin) parquet here")
+    args = p.parse_args(argv)
+
+    from opengauss_tools_datachecker_spark.operators import dedup
+    from opengauss_tools_datachecker_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dedup_index_{args.cmd}", master=args.master)
+    try:
+        docs = spark.read.parquet(args.docs)
+        sigs = dedup.minhash_signatures(
+            docs, args.id_col, args.text_col, n_hashes=args.n_hashes
+        )
+        if args.cmd == "index":
+            bands = dedup.band_rows(sigs, args.id_col, args.n_hashes, args.band_size)
+            dedup.index_batch(bands, args.index, args.batch_id)
+            print(f"indexed batch {args.batch_id} -> {args.index}")
+            return 0
+        index = dedup.read_band_index(spark, args.index)
+        stats = dedup.read_band_stats(spark, args.index)
+        hits = dedup.probe_band_index(
+            sigs, index, args.id_col, args.n_hashes, args.band_size,
+            max_bucket_size=args.max_bucket_size, index_band_sizes=stats,
+        )
+        if args.out:
+            hits.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(f"{n} candidate matches -> {args.out}")
+        else:
+            print(f"{hits.count()} candidate matches")
+            hits.show(20, truncate=False)
+        return 0
+    except Exception as exc:
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 2
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

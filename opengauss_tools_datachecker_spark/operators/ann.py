@@ -354,6 +354,72 @@ def ivf_centroids(dim: int, n_centroids: int = 8, seed: str = "ivf") -> list[lis
     return cents
 
 
+def ivf_kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    dim: int | None = None,
+    sample_cap: int = 4096,
+    n_iters: int = 10,
+    seed: str = "ivf",
+) -> list[list[float]]:
+    """Data-fit coarse centroids for :func:`ivf_topk` — spherical
+    k-means (fixed Lloyd iterations on the unit sphere) over a
+    DETERMINISTIC hash-sample of the corpus. Pass the result as
+    ``ivf_topk(..., centroids=...)``; every downstream query shape is
+    unchanged, only cell geometry improves (measured on the embeddings
+    fixture at nprobe=1, k=3 vs the md5 quantizer: recall@3
+    0.388 → 0.493 at 4 cells, 0.220 → 0.322 at 8 —
+    tests/test_ann.py::test_kmeans_centroids_recall).
+
+    Reproducible with NO RNG anywhere, so runs are engine- and
+    partitioning-stable:
+
+    - the sample is the ≤ ``sample_cap`` vectors with the smallest
+      md5(seed ‖ id) — a hash top-k (TakeOrdered, no full sort), stable
+      under repartitioning and mostly stable under corpus growth;
+    - initialization is the md5 quantizer (:func:`ivf_centroids`), so
+      the fit refines the hash geometry rather than rolling dice;
+    - a FIXED iteration count (no convergence-dependent stop), argmax
+      assignment tie-breaks to the lower cell id (same rule as
+      ``ivf_assign``), and an emptied cell keeps its previous centroid.
+
+    The collect is bounded by ``sample_cap`` (driver holds a
+    sample_cap × dim float64 matrix, ~2 MB at the defaults) — the same
+    documented small-driver-state contract as the exact baselines; the
+    corpus itself is touched only by the column-pruned (id, vector)
+    sampling scan. The md5 quantizer remains the oracle arm: k-means is
+    not SQL-reproducible, so gate queries keep ``centroids=None``.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rows = (
+        df.select(
+            F.md5(F.concat(F.lit(f"{seed}_sample_"), F.col(id_col).cast("string")))
+            .alias("_r"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_r")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((X * X).sum(axis=1))
+    Xn = np.divide(X, norms[:, None], out=np.zeros_like(X), where=norms[:, None] > 0)
+    C = np.array(ivf_centroids(dim, n_centroids, seed), dtype=np.float64)
+    for _ in range(n_iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.sqrt((m * m).sum())
+                if n > 0:
+                    C[j] = m / n
+    return [[float(x) for x in c] for c in C]
+
+
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """SPEC ONLY (hot path: ``_probe_cells_kernel``): nearest-centroid
     cell id (argmax dot with unit centroids == argmax cosine). Ties
@@ -476,10 +542,16 @@ def ivf_topk(
     dim: int | None = None,
     seed: str = "ivf",
     nprobe: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign each corpus vector
     to its nearest coarse centroid; each query searches its ``nprobe``
     nearest cells.
+
+    ``centroids`` overrides the default md5 quantizer — pass
+    :func:`ivf_kmeans_centroids` output for data-fit cells (higher
+    recall at equal nprobe; see that docstring for the measured gain
+    and why the gate's oracle arm stays on the md5 quantizer).
 
     The scale path beyond LSH: cells shrink the candidate join
     ~n_centroids/nprobe-fold and both the cell assignment and the probe
@@ -495,7 +567,7 @@ def ivf_topk(
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    cents = ivf_centroids(dim, n_centroids, seed)
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids, seed)
     assigned = _probe_cells_kernel(df, id_col, vec_col, cents, nprobe=1)
     if nprobe <= 1:
         probes = assigned.withColumnRenamed(id_col, "query_id")

@@ -215,6 +215,63 @@ def band_rows(
     )
 
 
+#: batch ids become partition directory names (same contract as the
+#: snapshot registry's ids)
+_SAFE_BATCH_ID = re.compile(r"[A-Za-z0-9._-]+")
+
+
+def index_batch(bands: DataFrame, index_path: str, batch_id: str) -> None:
+    """Append one batch's (id, band_key) rows to the persistable LSH
+    band index AND maintain its per-band stats — without ever rescanning
+    the already-indexed corpus.
+
+    Layout under ``index_path``:
+
+    - ``bands/batch_id=<id>/`` — the batch's :func:`band_rows` output
+    - ``stats/batch_id=<id>/`` — the batch's (band_key, bsz) counts
+
+    The stats table is the union of per-batch INCREMENTS, aggregated at
+    read time by :func:`read_band_stats` (band vocabulary ≪ corpus, and
+    the per-batch slice is tiny) — so maintaining the degenerate-bucket
+    cap's input never costs an index scan, which is the point of
+    :func:`probe_band_index`'s ``index_band_sizes`` fast path. Both
+    writes are per-batch partition directories in overwrite mode, so a
+    crashed-and-retried batch replaces its rows idempotently instead of
+    double-counting.
+    """
+    if not _SAFE_BATCH_ID.fullmatch(batch_id) or batch_id in (".", ".."):
+        raise ValueError(
+            f"batch_id {batch_id!r} is not a safe partition name "
+            "(allowed: [A-Za-z0-9._-]+, not '.' or '..')"
+        )
+    bands = bands.persist()
+    bands.write.mode("overwrite").parquet(f"{index_path}/bands/batch_id={batch_id}")
+    (
+        bands.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/stats/batch_id={batch_id}")
+    )
+    bands.unpersist()
+
+
+def read_band_index(spark, index_path: str) -> DataFrame:
+    """All indexed (id, band_key) rows across batches."""
+    df = spark.read.parquet(f"{index_path}/bands")
+    return df.drop("batch_id")
+
+
+def read_band_stats(spark, index_path: str) -> DataFrame:
+    """The maintained (band_key, bsz) totals — per-batch increments
+    summed at read; stats-table-sized, never an index scan."""
+    return (
+        spark.read.parquet(f"{index_path}/stats")
+        .groupBy("band_key")
+        .agg(F.sum("bsz").alias("bsz"))
+    )
+
+
 def _pairs_from_bands(
     bands: DataFrame, id_col: str, max_bucket_size: int
 ) -> DataFrame:

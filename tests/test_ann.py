@@ -114,6 +114,38 @@ def test_scale_paths_never_collect_corpus(spark, vecs, monkeypatch):
     )
 
 
+def test_kmeans_centroids_recall(spark):
+    """Data-fit cells (deterministic hash-sample + fixed Lloyd
+    iterations, md5-quantizer init) must beat the md5 quantizer at
+    equal nprobe, and the fit must be fully reproducible — no RNG, no
+    partitioning dependence. Measured here: recall@3 0.388 -> 0.493 at
+    4 cells on the near-uniform embeddings fixture."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200).cache()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.brute_force_topk(emb, "vec_id", "embedding", k=3).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann.ivf_topk(
+                emb, "vec_id", "embedding", k=3, n_centroids=4, dim=64, centroids=cents
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    km = ann.ivf_kmeans_centroids(emb, "vec_id", "embedding", n_centroids=4, dim=64)
+    assert len(km) == 4 and all(len(c) == 64 for c in km)
+    r_md5, r_km = recall(None), recall(km)
+    assert r_km > r_md5, f"kmeans {r_km} should beat md5 quantizer {r_md5}"
+    # deterministic: identical floats regardless of input partitioning
+    km2 = ann.ivf_kmeans_centroids(
+        emb.repartition(7), "vec_id", "embedding", n_centroids=4, dim=64
+    )
+    assert km == km2
+
+
 def test_brute_force_tie_heavy_exact(spark):
     """ADVICE r01: more raw-score ties at the cutoff than the selection
     margin must not break the (cos_sim desc, neighbor_id asc) ranking."""

@@ -1,0 +1,115 @@
+"""Incremental LSH band index: CLI e2e (index N batches -> probe) plus
+stats-vs-recount consistency and idempotent batch retries."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengauss_tools_datachecker_spark.operators import dedup
+
+REPO = Path(__file__).resolve().parent.parent
+
+BASE = " ".join(f"token{i} word{i * 7 % 13}" for i in range(25))
+OTHER = " ".join(f"alpha{i} beta{i * 5 % 11}" for i in range(25))
+
+
+@pytest.fixture(scope="module")
+def batches(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bandidx")
+    day1 = [(0, BASE), (1, BASE), (2, OTHER)]
+    day2 = [(10, OTHER), (11, "completely different prose about catalyst")]
+    day3 = [
+        (100, BASE.replace("token12", "CHANGED")),  # near-dup of 0/1 (day1)
+        (101, OTHER),                               # dup of 2 (day1) and 10 (day2)
+        (102, "fresh unseen content entirely"),
+    ]
+    for name, rows in (("day1", day1), ("day2", day2), ("day3", day3)):
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(str(root / name))
+    return root
+
+
+def _run(*args) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable,
+         str(REPO / "opengauss_tools_datachecker_spark" / "dedup_index.py"),
+         *map(str, args), "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, cwd=str(REPO),
+    )
+
+
+def test_index_then_probe_cli_e2e(spark, batches):
+    idx = batches / "index"
+    for day in ("day1", "day2"):
+        r = _run("index", "--docs", batches / day, "--index", idx, "--batch-id", day)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    # maintained stats == a full recount over the index (the invariant
+    # that lets probe_band_index cap buckets without an index scan)
+    stats = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_stats(spark, str(idx)).collect()
+    }
+    recount = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_index(spark, str(idx))
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .collect()
+    }
+    assert stats == recount
+
+    out = batches / "hits"
+    r = _run("probe", "--docs", batches / "day3", "--index", idx, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        (row.new_id, row.match_id, row.origin)
+        for row in spark.read.parquet(str(out)).collect()
+    }
+    assert (100, 0, "new_old") in got and (100, 1, "new_old") in got
+    assert (101, 2, "new_old") in got and (101, 10, "new_old") in got
+    assert not any(n == 102 for (n, _, _) in got)
+
+    # CLI probe (stats-fed) == in-session probe with counts recomputed
+    # from the index itself
+    sigs = dedup.minhash_signatures(
+        spark.read.parquet(str(batches / "day3")), "doc_id", "text"
+    )
+    want = {
+        (row.new_id, row.match_id, row.origin)
+        for row in dedup.probe_band_index(
+            sigs, dedup.read_band_index(spark, str(idx)), "doc_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_index_batch_retry_is_idempotent(spark, batches, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = spark.read.parquet(str(batches / "day1"))
+    bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
+    dedup.index_batch(bands, idx, "day1")
+    dedup.index_batch(bands, idx, "day1")  # crashed-and-retried batch
+    assert dedup.read_band_index(spark, idx).count() == bands.count()
+    stats = {
+        (r.band_key, r.bsz) for r in dedup.read_band_stats(spark, idx).collect()
+    }
+    recount = {
+        (r.band_key, r.bsz)
+        for r in bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).collect()
+    }
+    assert stats == recount
+
+
+def test_index_batch_id_validated(spark, batches, tmp_path):
+    docs = spark.read.parquet(str(batches / "day1"))
+    bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
+    for bad in ("a/b", "a=b", "..", ""):
+        with pytest.raises(ValueError):
+            dedup.index_batch(bands, str(tmp_path / "idx"), bad)
