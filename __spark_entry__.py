@@ -527,6 +527,24 @@ def q_contamination(spark, sf_dir):
     return pairs.unionByName(keep)
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Broadcast-bloom decontamination — the JOIN-FREE scale path for
+    screening a huge train corpus against a fixed eval set: the eval
+    shingles become a 128 KiB bitmap (2^20 bits, 4 md5-slice hashes)
+    broadcast to every executor; the train side is a pure map counting
+    bloom-positive shingles per doc, zero shuffle. Positions are
+    md5-derived, so the DuckDB oracle rebuilds the identical filter and
+    reproduces even the false positives bit-for-bit. Exact pair-level
+    attribution stays with q_contamination (ngram_contamination)."""
+    d = _t(spark, sf_dir, "documents")
+    s = ctm.hash_split(d, "doc_id")
+    train = s.filter(F.col("split") == "train")
+    ev = s.filter(F.col("split") == "test")
+    return ctm.bloom_decontamination(
+        train, ev, "doc_id", "text", shingle_n=3, min_overlap=2
+    )
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs at both widths in one frame keyed by
     `bits`: pigeonhole (h+1)-band join + popcount verify — guaranteed
@@ -1001,7 +1019,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 49 entries — kept within the external driver gate's 50-entry capture
+    # 50 entries — kept within the external driver gate's 50-entry capture
     # window (round-2 verdict: entries past #50 got no correctness row).
     # Variant families are folded into single multi-arm queries keyed by
     # a discriminator column (dialect / stat_name / bits / nprobe /
@@ -1024,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drift": q_drift,
         "q_hash_split": q_hash_split,
         "q_contamination": q_contamination,
+        "q_bloom_decontam": q_bloom_decontam,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_bands": q_minhash_bands,
         "q_minhash_estimate": q_minhash_estimate,

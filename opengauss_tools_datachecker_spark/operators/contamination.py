@@ -26,10 +26,19 @@ Scale design (10^9+ documents):
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from opengauss_tools_datachecker_spark.operators.dedup import distinct_shingle_rows
+from opengauss_tools_datachecker_spark.operators.dedup import (
+    _py_shingles,
+    _py_tokens,
+    distinct_shingle_rows,
+)
 
 #: md5-prefix space: assignments compare the first 8 hex chars (32 bits)
 _PREFIX_SPACE = 16**8
@@ -113,6 +122,121 @@ def ngram_contamination(
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------
+# Broadcast-bloom decontamination — the JOIN-FREE scale path.
+#
+# ngram_contamination shuffles (shingle, doc_id) rows from BOTH sides.
+# That is the right shape for pair-level attribution (which eval doc
+# leaked into which train doc), but a 10^12-doc corpus screened against
+# a FIXED eval set doesn't need pairs — it needs a doc-level verdict,
+# and that is a broadcast bloom filter: the eval set's shingles become
+# a 128 KiB bitmap shipped to every executor, and the train side is a
+# PURE MAP (zero shuffle, zero join, one pass) counting bloom-positive
+# shingles per doc. The standard production decontamination shape.
+#
+# Determinism/oracle: bit positions derive from md5(shingle) — hash i's
+# position is the last 5 hex chars of its 8-char digest chunk (5 hex
+# digits = 20 bits = an index into the 2^20-bit filter, no modulo
+# needed) — so DuckDB rebuilds the identical filter and reproduces even
+# the FALSE POSITIVES bit-for-bit. False-positive rate at k=4 hashes,
+# m=2^20 bits, n eval shingles: (1 - e^{-kn/m})^k ≈ 1% per shingle at
+# n = 10^5; `min_overlap` guards the doc-level verdict, and
+# ngram_contamination remains the exact pair-level verifier for flagged
+# docs.
+# ---------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # m: 2^20 bits = 128 KiB broadcast
+BLOOM_HASHES = 4      # k: four 20-bit slices of one md5
+
+
+def _bloom_positions(digest_hex: str) -> list[int]:
+    return [
+        int(digest_hex[8 * i + 3 : 8 * i + 8], 16) for i in range(BLOOM_HASHES)
+    ]
+
+
+def eval_bloom_bitmap(
+    eval_: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> np.ndarray:
+    """Build the eval set's bloom bitmap (packed uint8, BLOOM_BITS/8
+    bytes). Distinct shingles are hashed in an Arrow kernel; the driver
+    collects only DISTINCT bit positions — bounded by min(k·n_shingles,
+    BLOOM_BITS) ≤ 2^20 ints no matter how large the eval set grows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            poss: set[int] = set()
+            for s in pdf["sh"]:
+                poss.update(_bloom_positions(hashlib.md5(s.encode()).hexdigest()))
+            yield pd.DataFrame({"pos": pd.Series(sorted(poss), dtype="int32")})
+
+    sh = distinct_shingle_rows(eval_, id_col, text_col, shingle_n).select("sh").distinct()
+    rows = sh.mapInPandas(kernel, "pos int").distinct().collect()
+    bitmap = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    if rows:
+        arr = np.array([r["pos"] for r in rows], dtype=np.int64)
+        np.bitwise_or.at(bitmap, arr >> 3, (1 << (arr & 7)).astype(np.uint8))
+    return bitmap
+
+
+def bloom_flagged_train(
+    train: DataFrame,
+    bitmap: np.ndarray,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """(train_id, n_hits): train docs with at least ``min_overlap``
+    distinct shingles testing bloom-positive against ``bitmap``. Pure
+    map over the train corpus — the bitmap rides a Spark broadcast, no
+    shuffle anywhere in the plan."""
+    bc = train.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+    id_type = train.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            ids, hits = [], []
+            for doc_id, text in zip(pdf["_id"], pdf["_text"]):
+                n = 0
+                for s in dict.fromkeys(_py_shingles(_py_tokens(text), shingle_n)):
+                    h = hashlib.md5(s.encode()).hexdigest()
+                    if all(
+                        (bm[p >> 3] >> (p & 7)) & 1 for p in _bloom_positions(h)
+                    ):
+                        n += 1
+                if n >= min_overlap:
+                    ids.append(doc_id)
+                    hits.append(n)
+            yield pd.DataFrame(
+                {"train_id": ids, "n_hits": pd.Series(hits, dtype="int32")}
+            )
+
+    return train.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(kernel, f"train_id {id_type}, n_hits int")
+
+
+def bloom_decontamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Doc-level decontamination screen: build the eval bloom
+    (:func:`eval_bloom_bitmap`) and flag train docs against it
+    (:func:`bloom_flagged_train`). Flagged docs are dropped or handed
+    to :func:`ngram_contamination` for exact pair-level verification —
+    which now runs on the flagged slice, not the corpus."""
+    bitmap = eval_bloom_bitmap(eval_, id_col, text_col, shingle_n)
+    return bloom_flagged_train(
+        train, bitmap, id_col, text_col, shingle_n, min_overlap
     )
 
 

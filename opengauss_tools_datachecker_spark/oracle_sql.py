@@ -563,6 +563,42 @@ SELECT 'keep', CAST(-1 AS BIGINT), doc_id, CAST(-1 AS BIGINT) FROM tr_toks
 WHERE doc_id NOT IN (SELECT train_id FROM pairs WHERE n_overlap >= 2)
 """
 
+# broadcast-bloom decontamination twin: rebuild the IDENTICAL 2^20-bit
+# filter (position i = hex value of the last 5 chars of md5 chunk i —
+# 5 hex digits = 20 bits, no modulo) and count per train doc the
+# distinct shingles whose FOUR positions are all set. UNION ALL in
+# tr_pos (not UNION): a shingle whose chunk positions collide must
+# still contribute one joined row per hash so COUNT(*) = 4 means
+# "all hashes hit". Reproduces the Spark kernel's false positives too.
+
+
+def _hex5(col: str, start: int) -> str:
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + j}, 1)) - 1) * {16 ** (4 - j)}"
+        for j in range(5)
+    ) + ")"
+
+
+_BLOOM_STARTS = [8 * i + 4 for i in range(4)]  # 1-based: md5[8i+3 : 8i+8]
+
+ORACLES["q_bloom_decontam"] = f"""
+WITH sp AS (SELECT doc_id, text, {_P8} AS p FROM documents),
+tr_toks AS (SELECT doc_id, {_TOKS} AS w FROM sp WHERE p >= '{_SPLIT_T["valid"]}'),
+ev_toks AS (SELECT doc_id, {_TOKS} AS w FROM sp WHERE p < '{_SPLIT_T["test"]}'),
+ev_h AS (SELECT md5(sh) AS h FROM (
+  SELECT DISTINCT unnest(list_distinct({_shingle3()})) AS sh
+  FROM ev_toks WHERE len(w) >= 3)),
+bits AS ({" UNION ".join(f"SELECT DISTINCT {_hex5('h', s)} AS pos FROM ev_h" for s in _BLOOM_STARTS)}),
+tr_h AS (SELECT doc_id, sh, md5(sh) AS h FROM (
+  SELECT doc_id, unnest(list_distinct({_shingle3()})) AS sh
+  FROM tr_toks WHERE len(w) >= 3)),
+tr_pos AS ({" UNION ALL ".join(f"SELECT doc_id, sh, {_hex5('h', s)} AS pos FROM tr_h" for s in _BLOOM_STARTS)}),
+hits AS (SELECT doc_id, sh FROM tr_pos JOIN bits USING (pos)
+         GROUP BY 1, 2 HAVING COUNT(*) = 4)
+SELECT doc_id AS train_id, CAST(COUNT(*) AS INT) AS n_hits
+FROM hits GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
 _TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS INT) AS n_tokens,

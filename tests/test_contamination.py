@@ -8,7 +8,12 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from opengauss_tools_datachecker_spark.operators.contamination import (
+    BLOOM_BITS,
+    _bloom_positions,
+    bloom_decontamination,
+    bloom_flagged_train,
     decontaminated_train_ids,
+    eval_bloom_bitmap,
     hash_split,
     ngram_contamination,
     split_thresholds,
@@ -108,3 +113,45 @@ def test_decontaminated_keep_list(corpus):
         for r in decontaminated_train_ids(train, ev, "doc_id", "text", min_overlap=2).collect()
     }
     assert keep == {2, 4}
+
+
+def test_bloom_positions_are_20_bit_md5_slices():
+    h = hashlib.md5(b"the quick brown").hexdigest()
+    pos = _bloom_positions(h)
+    assert pos == [int(h[8 * i + 3 : 8 * i + 8], 16) for i in range(4)]
+    assert all(0 <= p < BLOOM_BITS for p in pos)
+
+
+def test_bloom_flags_leaked_docs(corpus):
+    train, ev = corpus
+    flagged = {
+        r["train_id"]: r["n_hits"]
+        for r in bloom_decontamination(train, ev, "doc_id", "text", min_overlap=2).collect()
+    }
+    # the exact join's dirty set must be flagged (bloom has no false
+    # NEGATIVES — every truly shared shingle tests positive)
+    assert {1, 3} <= set(flagged)
+    assert flagged[1] >= 8  # all 8 shared 3-grams hit (+ possible FPs)
+    exact_dirty = {
+        r["train_id"]
+        for r in ngram_contamination(train, ev, "doc_id", "text", min_overlap=2).collect()
+    }
+    assert exact_dirty <= set(flagged)
+
+
+def test_bloom_train_side_is_map_only(corpus):
+    """The scale property: the train pass is a pure map — the eval set
+    rides a broadcast variable, so the executed plan contains no
+    Exchange at all."""
+    train, ev = corpus
+    bitmap = eval_bloom_bitmap(ev, "doc_id", "text")
+    assert bitmap.nbytes == BLOOM_BITS // 8  # 128 KiB regardless of eval size
+    flagged = bloom_flagged_train(train, bitmap, "doc_id", "text", min_overlap=2)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bloom_empty_eval_flags_nothing(spark, corpus):
+    train, _ = corpus
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bloom_decontamination(train, empty, "doc_id", "text").count() == 0
