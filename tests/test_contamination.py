@@ -151,6 +151,38 @@ def test_bloom_train_side_is_map_only(corpus):
     assert "Exchange" not in plan
 
 
+def test_bloom_no_false_negatives_on_synthetic_corpus(spark):
+    """Soundness: the exact join's dirty train set is ALWAYS a subset of
+    the bloom flags (a truly shared shingle can't test negative — only
+    extra false POSITIVES are possible). Checked over a deterministic
+    120-doc corpus with planted partial overlaps of varying length."""
+    def words(seed, n):
+        return " ".join(
+            hashlib.md5(f"{seed}_{i}".encode()).hexdigest()[:6] for i in range(n)
+        )
+
+    train_rows = []
+    for i in range(100):
+        body = words(f"t{i}", 8 + i % 12)
+        if i % 7 == 0:  # plant a leak: shares a 4..9-word span with eval doc i%10
+            body = words(f"e{i % 10}", 4 + i % 6) + " " + body
+        train_rows.append((i, body))
+    eval_rows = [(1000 + j, words(f"e{j}", 15)) for j in range(10)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    exact_dirty = {
+        r["train_id"]
+        for r in ngram_contamination(train, ev, "doc_id", "text", min_overlap=2).collect()
+    }
+    flagged = {
+        r["train_id"]
+        for r in bloom_decontamination(train, ev, "doc_id", "text", min_overlap=2).collect()
+    }
+    assert exact_dirty, "fixture must plant real leaks"
+    assert exact_dirty <= flagged
+
+
 def test_bloom_empty_eval_flags_nothing(spark, corpus):
     train, _ = corpus
     empty = spark.createDataFrame([], "doc_id long, text string")
