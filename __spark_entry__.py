@@ -413,12 +413,26 @@ def q_ngram_jaccard(spark, sf_dir):
       operator keeps every shingle of each candidate doc, pruned
       scores are exactly the full scores restricted to candidate
       pairs — which is also how the oracle recomputes the arm.
+
+    The shingle kernel output is PERSISTED and shared by both arms
+    (shingle_rows=) — per-query the tokenize → shingle kernel runs
+    once, not per arm. The LSH candidate pairs are deliberately NOT
+    persisted: their band rows are already cached inside
+    lsh_candidate_pairs, and a round-4 interleaved A/B (3 trials,
+    local[32], sf0.1) measured cand-persist as a ~2 s pessimization
+    (median 6.9 vs 4.9 s — materializing the pair shuffle as a cache
+    barrier costs more than replaying the cheap joins over the cached
+    bands), while sh-persist alone is the fastest variant.
     """
     d = _t(spark, sf_dir, "documents")
-    full = dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+    sh = dedup.distinct_shingle_rows(d, "doc_id", "text", shingle_n=3).persist()
+    full = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.8, shingle_rows=sh
+    )
     cand = dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
     pruned = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=0.8, candidates=cand
+        d, "doc_id", "text", shingle_n=3, threshold=0.8, candidates=cand,
+        shingle_rows=sh,
     )
     return full.select(
         F.lit("full").alias("kind"), "id_a", "id_b", "jaccard"
@@ -429,12 +443,17 @@ def q_containment(spark, sf_dir):
     """Asymmetric n-gram containment (|A∩B|/min(|A|,|B|)) — the
     snippet-inclusion detector Jaccard misses: a short doc fully
     embedded in a long one scores 1.0 here and ~0 on Jaccard. Same
-    full/pruned two-arm gate shape as q_ngram_jaccard (`kind`)."""
+    full/pruned two-arm gate shape — and the same measured
+    sh-persist-only reuse — as q_ngram_jaccard (`kind`)."""
     d = _t(spark, sf_dir, "documents")
-    full = dedup.ngram_containment_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.8)
+    sh = dedup.distinct_shingle_rows(d, "doc_id", "text", shingle_n=3).persist()
+    full = dedup.ngram_containment_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.8, shingle_rows=sh
+    )
     cand = dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
     pruned = dedup.ngram_containment_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=0.8, candidates=cand
+        d, "doc_id", "text", shingle_n=3, threshold=0.8, candidates=cand,
+        shingle_rows=sh,
     )
     return full.select(
         F.lit("full").alias("kind"), "id_a", "id_b", "containment"

@@ -54,18 +54,35 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"dedup_index_{args.cmd}", master=args.master)
     try:
         docs = spark.read.parquet(args.docs)
+        n_hashes, band_size = args.n_hashes, args.band_size
+        if args.cmd == "probe":
+            # banding parameters are a property of the INDEX, not the
+            # probe invocation: mismatched parameters produce band keys
+            # that never match anything — a silent false 'clean'
+            meta = dedup.read_index_meta(spark, args.index)
+            if meta is not None:
+                if meta != (n_hashes, band_size):
+                    print(
+                        f"note: probing with the index's recorded "
+                        f"(n_hashes, band_size)={meta}, overriding "
+                        f"({n_hashes}, {band_size})"
+                    )
+                n_hashes, band_size = meta
         sigs = dedup.minhash_signatures(
-            docs, args.id_col, args.text_col, n_hashes=args.n_hashes
+            docs, args.id_col, args.text_col, n_hashes=n_hashes
         )
         if args.cmd == "index":
-            bands = dedup.band_rows(sigs, args.id_col, args.n_hashes, args.band_size)
-            dedup.index_batch(bands, args.index, args.batch_id)
+            bands = dedup.band_rows(sigs, args.id_col, n_hashes, band_size)
+            dedup.index_batch(
+                bands, args.index, args.batch_id,
+                n_hashes=n_hashes, band_size=band_size,
+            )
             print(f"indexed batch {args.batch_id} -> {args.index}")
             return 0
         index = dedup.read_band_index(spark, args.index)
         stats = dedup.read_band_stats(spark, args.index)
         hits = dedup.probe_band_index(
-            sigs, index, args.id_col, args.n_hashes, args.band_size,
+            sigs, index, args.id_col, n_hashes, band_size,
             max_bucket_size=args.max_bucket_size, index_band_sizes=stats,
         )
         if args.out:
@@ -73,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             n = spark.read.parquet(args.out).count()
             print(f"{n} candidate matches -> {args.out}")
         else:
+            hits = hits.persist()  # count + show must not re-run the probe
             print(f"{hits.count()} candidate matches")
             hits.show(20, truncate=False)
         return 0

@@ -565,9 +565,12 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    cents = centroids if centroids is not None else ivf_centroids(dim, n_centroids, seed)
+    if centroids is not None:
+        cents = centroids  # dim unused — don't pay the probe job
+    else:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        cents = ivf_centroids(dim, n_centroids, seed)
     assigned = _probe_cells_kernel(df, id_col, vec_col, cents, nprobe=1)
     if nprobe <= 1:
         probes = assigned.withColumnRenamed(id_col, "query_id")

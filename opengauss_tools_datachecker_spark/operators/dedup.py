@@ -220,15 +220,25 @@ def band_rows(
 _SAFE_BATCH_ID = re.compile(r"[A-Za-z0-9._-]+")
 
 
-def index_batch(bands: DataFrame, index_path: str, batch_id: str) -> None:
+def index_batch(
+    bands: DataFrame,
+    index_path: str,
+    batch_id: str,
+    n_hashes: int | None = None,
+    band_size: int | None = None,
+) -> None:
     """Append one batch's (id, band_key) rows to the persistable LSH
     band index AND maintain its per-band stats — without ever rescanning
     the already-indexed corpus.
 
     Layout under ``index_path``:
 
-    - ``bands/batch_id=<id>/`` — the batch's :func:`band_rows` output
     - ``stats/batch_id=<id>/`` — the batch's (band_key, bsz) counts
+    - ``bands/batch_id=<id>/`` — the batch's :func:`band_rows` output
+    - ``meta/`` — one (n_hashes, band_size) row, written on the first
+      batch when the parameters are supplied; later batches with
+      DIFFERENT parameters are rejected (mismatched banding would make
+      probes silently miss everything)
 
     The stats table is the union of per-batch INCREMENTS, aggregated at
     read time by :func:`read_band_stats` (band vocabulary ≪ corpus, and
@@ -237,15 +247,32 @@ def index_batch(bands: DataFrame, index_path: str, batch_id: str) -> None:
     :func:`probe_band_index`'s ``index_band_sizes`` fast path. Both
     writes are per-batch partition directories in overwrite mode, so a
     crashed-and-retried batch replaces its rows idempotently instead of
-    double-counting.
+    double-counting. WRITE ORDER MATTERS: stats land BEFORE bands, so a
+    crash between the two leaves stats claiming rows the index doesn't
+    have yet — the cap then OVER-counts (safe, conservative) until the
+    batch retry overwrites both; the reverse order would under-count
+    and silently exempt an oversized bucket from the cap.
     """
     if not _SAFE_BATCH_ID.fullmatch(batch_id) or batch_id in (".", ".."):
         raise ValueError(
             f"batch_id {batch_id!r} is not a safe partition name "
             "(allowed: [A-Za-z0-9._-]+, not '.' or '..')"
         )
+    spark = bands.sparkSession
+    if n_hashes is not None and band_size is not None:
+        recorded = read_index_meta(spark, index_path)
+        if recorded is None:
+            spark.createDataFrame(
+                [(int(n_hashes), int(band_size))], "n_hashes int, band_size int"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta")
+        elif recorded != (n_hashes, band_size):
+            raise ValueError(
+                f"band-index parameter mismatch: index {index_path!r} was "
+                f"built with (n_hashes, band_size)={recorded}, batch "
+                f"{batch_id!r} uses ({n_hashes}, {band_size}); mismatched "
+                "banding never matches any key — rebuild or fix the flags"
+            )
     bands = bands.persist()
-    bands.write.mode("overwrite").parquet(f"{index_path}/bands/batch_id={batch_id}")
     (
         bands.groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -253,7 +280,21 @@ def index_batch(bands: DataFrame, index_path: str, batch_id: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{index_path}/stats/batch_id={batch_id}")
     )
+    bands.write.mode("overwrite").parquet(f"{index_path}/bands/batch_id={batch_id}")
     bands.unpersist()
+
+
+def read_index_meta(spark, index_path: str) -> tuple[int, int] | None:
+    """The index's recorded (n_hashes, band_size), or None for an index
+    created before any metadata was supplied. Filesystem-agnostic: a
+    missing meta directory is simply 'no metadata', not an error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{index_path}/meta").first()
+    except AnalysisException:
+        return None
+    return (int(row["n_hashes"]), int(row["band_size"])) if row else None
 
 
 def read_band_index(spark, index_path: str) -> DataFrame:
@@ -386,9 +427,14 @@ def probe_band_index(
     degenerate-bucket cap otherwise needs. Stats keys MISSING for a
     batch band key are treated as UNKNOWN, not zero: those keys'
     counts are recomputed from the index itself (a semi-joined recount
-    over just the uncovered keys), so a stale or partial stats table
-    can never silently exempt a band from the cap and restore the
-    unbounded new×index fan-out the cap exists to prevent.
+    over just the uncovered keys), so a stats table missing keys can
+    never silently exempt a band from the cap and restore the
+    unbounded new×index fan-out the cap exists to prevent. Keys
+    PRESENT in the stats are trusted as-is — :func:`index_batch`
+    guarantees they can only ever OVER-count (its stats write lands
+    before its bands write, so a crashed batch over-caps until
+    retried, never under-caps); a hand-maintained stats table must
+    uphold the same never-undercount contract.
 
     The degenerate-bucket cap applies to the COMBINED occupancy
     (new-batch count + index count) per band: a boilerplate band with
@@ -708,6 +754,7 @@ def _shingle_overlap_counts(
     text_col: str,
     shingle_n: int,
     candidates: DataFrame | None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Shared verifier core: (id_a, id_b, n_inter, n_a, n_b) over
     distinct shingle sets.
@@ -727,8 +774,17 @@ def _shingle_overlap_counts(
     would then FAIL the job, where a plain semi-join degrades to a
     shuffle join and AQE still runtime-broadcasts whenever the built
     side is actually small (the common case).
+
+    ``shingle_rows`` reuses an already-materialized (and ideally
+    persisted) :func:`distinct_shingle_rows` frame — a caller scoring
+    the same corpus twice (e.g. a full arm and a candidates-pruned arm)
+    pays the tokenize → shingle kernel once instead of per call.
     """
-    sh = distinct_shingle_rows(df, id_col, text_col, shingle_n)
+    sh = (
+        shingle_rows
+        if shingle_rows is not None
+        else distinct_shingle_rows(df, id_col, text_col, shingle_n)
+    )
     if candidates is not None:
         cand_ids = (
             candidates.select(F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
@@ -757,11 +813,15 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity: (id_a, id_b, jaccard ≥ threshold).
-    Plan shape and candidate pruning: :func:`_shingle_overlap_counts`.
+    Plan shape, candidate pruning and shingle reuse:
+    :func:`_shingle_overlap_counts`.
     """
-    counts = _shingle_overlap_counts(df, id_col, text_col, shingle_n, candidates)
+    counts = _shingle_overlap_counts(
+        df, id_col, text_col, shingle_n, candidates, shingle_rows
+    )
     return counts.select(
         "id_a",
         "id_b",
@@ -778,6 +838,7 @@ def ngram_containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram containment: |A∩B| / min(|A|,|B|) ≥ threshold.
 
@@ -788,7 +849,9 @@ def ngram_containment_pairs(
     :func:`ngram_jaccard_pairs` (see :func:`_shingle_overlap_counts`),
     only the score differs. Output: (id_a, id_b, containment).
     """
-    counts = _shingle_overlap_counts(df, id_col, text_col, shingle_n, candidates)
+    counts = _shingle_overlap_counts(
+        df, id_col, text_col, shingle_n, candidates, shingle_rows
+    )
     return counts.select(
         "id_a",
         "id_b",

@@ -146,12 +146,18 @@ def recorded_signatures(
 
 
 def _recorded_n_buckets(spark: SparkSession, registry_path: str, snapshot_id: str) -> int:
-    row = (
-        spark.read.parquet(registry_path)
-        .filter(F.col("snapshot_id") == snapshot_id)
-        .select("n_buckets")
-        .first()
-    )
+    reg = spark.read.parquet(registry_path)
+    if "n_buckets" not in reg.columns:
+        # the n_buckets column arrived together with the multiset-sum
+        # signature format — its absence marks a registry whose sig
+        # values are the old XOR longs, which must not be compared
+        # against new sums either
+        raise ValueError(
+            f"registry {registry_path!r} predates the n_buckets/"
+            "multiset-sum format: re-record its snapshots with the "
+            "current code (or run a full, non-incremental validation)"
+        )
+    row = reg.filter(F.col("snapshot_id") == snapshot_id).select("n_buckets").first()
     if row is None:
         raise ValueError(f"snapshot {snapshot_id!r} has no rows in the registry")
     return int(row["n_buckets"])

@@ -107,6 +107,49 @@ def test_index_batch_retry_is_idempotent(spark, batches, tmp_path):
     assert stats == recount
 
 
+def test_index_meta_rejects_mismatched_banding(spark, batches, tmp_path):
+    """Banding parameters are a property of the index: a batch indexed
+    with different (n_hashes, band_size) would produce band keys that
+    never match any probe — reject it instead of silently diverging."""
+    idx = str(tmp_path / "idx")
+    docs = spark.read.parquet(str(batches / "day1"))
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    bands = dedup.band_rows(sigs, "doc_id")
+    dedup.index_batch(bands, idx, "day1", n_hashes=8, band_size=2)
+    assert dedup.read_index_meta(spark, idx) == (8, 2)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        dedup.index_batch(bands, idx, "day2", n_hashes=8, band_size=4)
+    # same parameters keep appending fine
+    dedup.index_batch(bands, idx, "day2", n_hashes=8, band_size=2)
+    assert dedup.read_index_meta(spark, str(tmp_path / "nope")) is None
+
+
+def test_index_batch_stats_written_before_bands(spark, batches, tmp_path):
+    """The crash-safety invariant: a batch's stats land before its
+    bands, so an interrupted batch can only OVER-count (conservative
+    capping), never under-count. Asserted by failing the bands write
+    and checking stats already exist."""
+    idx = str(tmp_path / "idx")
+    docs = spark.read.parquet(str(batches / "day1"))
+    bands = dedup.band_rows(
+        dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    )
+    # make the bands directory unwritable by pre-creating a FILE there
+    import os
+    os.makedirs(idx, exist_ok=True)
+    with open(f"{idx}/bands", "w") as fh:
+        fh.write("not a directory")
+    with pytest.raises(Exception):
+        dedup.index_batch(bands, idx, "day1")
+    # the stats increment survived the crash -> over-count, never under
+    stats = {r.band_key: r.bsz for r in dedup.read_band_stats(spark, idx).collect()}
+    recount = {
+        r.band_key: r.bsz
+        for r in bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).collect()
+    }
+    assert stats == recount
+
+
 def test_index_batch_id_validated(spark, batches, tmp_path):
     docs = spark.read.parquet(str(batches / "day1"))
     bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
