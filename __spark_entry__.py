@@ -988,18 +988,48 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new, key_cols=["doc_id"], value_cols=["text", "lang", "source"])
 
 
-def q_sample_stratified(spark, sf_dir):
-    """Deterministic stratified sampling by md5(doc_id) prefix: keep 10%
-    of 'en', 60% of 'de', 25% of everything else — reproducible on any
-    engine / partitioning (the DuckDB twin computes the identical hex
-    compare), unlike seed-and-partitioning-dependent df.sample()."""
-    from opengauss_tools_datachecker_spark.operators.sampling import stratified_sample
+def q_corpus_select(spark, sf_dir):
+    """All three deterministic corpus-selection operators in one frame
+    keyed by `kind` (the multi-arm consolidation pattern):
+
+    - stratified: fixed per-lang rates (10% en / 60% de / 25% rest) by
+      md5(doc_id) prefix — reproducible on any engine / partitioning,
+      unlike seed-and-partitioning-dependent df.sample(). v1 = 0.
+    - mixture: token-BUDGET sampling — each lang downsampled to a target
+      char budget (en→20k, de→50k, rest keep 50%); the per-stratum rate
+      min(1, target/available) comes from one tiny agg joined back
+      unforced (AQE broadcasts), then the same pure-map hash compare.
+      v1 = the applied rate. At sf0.001 'de' exercises the rate-1 cap
+      and 'en' the fractional path; at sf0.1 both are fractional.
+    - quantile_gate: rank-based filter — keep the top 30% by char
+      entropy PER LANGUAGE (per-group percentile threshold joined back;
+      NOT a window rank, which would be one task per group at scale).
+      v1 = the doc's entropy_bits.
+
+    Every arm ends in a map-side filter over a scan plus at most one
+    config-sized agg-join; no arm shuffles the corpus.
+    """
+    from opengauss_tools_datachecker_spark.operators.sampling import (
+        mixture_sample,
+        quantile_gate,
+        stratified_sample,
+    )
+    from opengauss_tools_datachecker_spark.operators.stats import char_entropy
 
     d = _t(spark, sf_dir, "documents")
-    kept = stratified_sample(
+    strat = stratified_sample(
         d, "doc_id", "lang", rates={"en": 0.10, "de": 0.60}, default_rate=0.25
+    ).select(F.lit("stratified").alias("kind"), "doc_id", "lang", F.lit(0.0).alias("v1"))
+    mix = mixture_sample(
+        d, "doc_id", "lang", "n_chars", targets={"en": 20000.0, "de": 50000.0}, default_rate=0.5
+    ).select(
+        F.lit("mixture").alias("kind"), "doc_id", "lang", F.round("mix_rate", 6).alias("v1")
     )
-    return kept.select("doc_id", "lang")
+    ent = char_entropy(d, "doc_id", "text").join(d.select("doc_id", "lang"), "doc_id")
+    gated = quantile_gate(ent, "entropy_bits", ["lang"], keep_top=0.3, round_to=6).select(
+        F.lit("quantile_gate").alias("kind"), "doc_id", "lang", F.col("entropy_bits").alias("v1")
+    )
+    return strat.unionByName(mix).unionByName(gated)
 
 
 def q_repetition(spark, sf_dir):
@@ -1092,7 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_outliers": q_outliers,
         "q_snapshot_diff": q_snapshot_diff,
-        "q_sample_stratified": q_sample_stratified,
+        "q_corpus_select": q_corpus_select,
         "q_repetition": q_repetition,
     }
 

@@ -1188,20 +1188,50 @@ SELECT doc_id, 'modified' FROM documents
 WHERE doc_id % 97 = 0 AND doc_id % 101 <> 0 AND text IS NOT NULL
 """
 
-# ---- deterministic stratified sampling (operators/sampling.py) ----
-# Membership is an md5-prefix compare — engine-portable by construction;
-# the hex bounds come from the SAME rate_bound helper the operator uses.
+# ---- deterministic corpus selection (operators/sampling.py) ----
+# Three arms keyed by `kind`. Membership is an md5-prefix compare —
+# engine-portable by construction: the stratified bounds come from the
+# SAME rate_bound helper the operator uses; the mixture bound is
+# recomputed from the data by the identical formula (integer char sums
+# → one IEEE division → floor → %09x hex), so even the derived rates
+# agree byte-for-byte; the quantile arm reuses the entropy fragment
+# (already byte-exact vs the Arrow kernel) and rounds the interpolated
+# threshold to 6 decimals on both engines before comparing.
 
 from opengauss_tools_datachecker_spark.operators.sampling import rate_bound as _rb
 
 _SAMPLE_P9 = "lpad(substr(md5(concat('sample', CAST(doc_id AS VARCHAR))), 1, 8), 9, '0')"
+_MIX_P9 = "lpad(substr(md5(concat('mixture', CAST(doc_id AS VARCHAR))), 1, 8), 9, '0')"
 
-ORACLES["q_sample_stratified"] = f"""
-SELECT doc_id, lang FROM documents
-WHERE {_SAMPLE_P9} <
-  CASE WHEN lang = 'en' THEN '{_rb(0.10)}'
-       WHEN lang = 'de' THEN '{_rb(0.60)}'
-       ELSE '{_rb(0.25)}' END
+ORACLES["q_corpus_select"] = f"""
+WITH strat AS (
+  SELECT 'stratified' AS kind, doc_id, lang, 0.0 AS v1 FROM documents
+  WHERE {_SAMPLE_P9} <
+    CASE WHEN lang = 'en' THEN '{_rb(0.10)}'
+         WHEN lang = 'de' THEN '{_rb(0.60)}'
+         ELSE '{_rb(0.25)}' END
+),
+avail AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS a FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, CASE WHEN t IS NULL THEN 0.5 ELSE LEAST(1.0, t / CAST(a AS DOUBLE)) END AS r
+  FROM (SELECT lang, a,
+          CASE lang WHEN 'en' THEN 20000.0 WHEN 'de' THEN 50000.0 ELSE NULL END AS t
+        FROM avail)
+),
+mix AS (
+  SELECT 'mixture' AS kind, d.doc_id, d.lang, ROUND(r, 6) AS v1
+  FROM documents d JOIN rates USING (lang)
+  WHERE {_MIX_P9} < printf('%09x', CAST(FLOOR(r * 4294967296.0) AS BIGINT))
+),
+ent AS (SELECT e.doc_id, d.lang, e.entropy_bits
+        FROM ({_CHAR_ENTROPY_SQL}) e JOIN documents d USING (doc_id)),
+thr AS (SELECT lang, ROUND(quantile_cont(entropy_bits, 0.7), 6) AS thr
+        FROM ent GROUP BY lang),
+gated AS (
+  SELECT 'quantile_gate' AS kind, ent.doc_id, ent.lang, ent.entropy_bits AS v1
+  FROM ent JOIN thr USING (lang) WHERE ent.entropy_bits >= thr
+)
+SELECT * FROM strat UNION ALL SELECT * FROM mix UNION ALL SELECT * FROM gated
 """
 
 # ---- within-doc repetition (operators/dedup.py repetition_stats) ----

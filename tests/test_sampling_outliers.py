@@ -167,3 +167,144 @@ def test_repetition_stats_values(spark):
     assert (rows[1]["n_grams"], rows[1]["n_distinct"]) == (7, 3)
     assert rows[1]["dup_ratio"] == round(1.0 - 3.0 / 7.0, 6)
     assert rows[2]["dup_ratio"] == 0.0
+
+
+# --------------------------------------------------- mixture sampling
+
+
+def _mix_docs(spark, n=400):
+    # 4 strata with known char weights: en heavy, de light
+    rows = [(i, ["en", "en", "de", "fr"][i % 4], 100 + (i % 7)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+
+
+def test_mixture_rates_budget_and_cap(spark):
+    from opengauss_tools_datachecker_spark.operators.sampling import mixture_sample
+
+    d = _mix_docs(spark)
+    avail = {r["lang"]: r["a"] for r in d.groupBy("lang").agg(F.sum("n_chars").alias("a")).collect()}
+    # en budget = half its chars → rate 0.5; de budget = 10x its chars → capped at 1.0
+    kept = mixture_sample(
+        d, "doc_id", "lang", "n_chars",
+        targets={"en": avail["en"] / 2.0, "de": avail["de"] * 10.0}, default_rate=0.25,
+    )
+    rates = {r["lang"]: r["mix_rate"] for r in kept.select("lang", "mix_rate").distinct().collect()}
+    assert rates["en"] == 0.5 and rates["de"] == 1.0 and rates["fr"] == 0.25
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_de = d.filter(F.col("lang") == "de").count()
+    assert by_lang["de"] == n_de  # rate 1.0 keeps every row
+    # fractional strata keep ≈ rate of the rows (hash-uniform, wide tolerance)
+    n_en = d.filter(F.col("lang") == "en").count()
+    assert abs(by_lang["en"] / n_en - 0.5) < 0.2
+
+
+def test_mixture_deterministic_under_repartition(spark):
+    from opengauss_tools_datachecker_spark.operators.sampling import mixture_sample
+
+    d = _mix_docs(spark)
+    kw = dict(targets={"en": 5000.0}, default_rate=0.4)
+    a = {r["doc_id"] for r in mixture_sample(d, "doc_id", "lang", "n_chars", **kw).collect()}
+    b = {
+        r["doc_id"]
+        for r in mixture_sample(d.repartition(13, "n_chars"), "doc_id", "lang", "n_chars", **kw).collect()
+    }
+    assert a == b and a  # same keep set at any partitioning
+
+
+def test_mixture_nested_samples(spark):
+    # a smaller budget's keep set is a subset of a larger budget's —
+    # the shared-hash nesting property the docstring promises
+    from opengauss_tools_datachecker_spark.operators.sampling import mixture_sample
+
+    d = _mix_docs(spark)
+    small = {r["doc_id"] for r in mixture_sample(d, "doc_id", "lang", "n_chars",
+                                                 targets={"en": 3000.0}, default_rate=0.2).collect()}
+    big = {r["doc_id"] for r in mixture_sample(d, "doc_id", "lang", "n_chars",
+                                               targets={"en": 9000.0}, default_rate=0.6).collect()}
+    assert small <= big
+
+
+def test_mixture_null_stratum_uses_default(spark):
+    from opengauss_tools_datachecker_spark.operators.sampling import mixture_sample
+
+    rows = [(i, None if i % 2 else "en", 10) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    kept = mixture_sample(d, "doc_id", "lang", "n_chars", targets={"en": 1e9}, default_rate=1.0)
+    assert kept.count() == 100  # NULL stratum null-safe-joins and keeps at default 1.0
+    dropped = mixture_sample(d, "doc_id", "lang", "n_chars", targets={"en": 1e9}, default_rate=0.0)
+    assert dropped.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_mixture_duckdb_twin(spark):
+    # the gate arm's exact formula, replayed standalone on synthetic data
+    import duckdb
+
+    from opengauss_tools_datachecker_spark.operators.sampling import mixture_sample
+
+    d = _mix_docs(spark)
+    kept = mixture_sample(d, "doc_id", "lang", "n_chars", targets={"en": 7000.0}, default_rate=0.3)
+    got = sorted((r["doc_id"], round(r["mix_rate"], 6)) for r in kept.collect())
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs AS SELECT * FROM (VALUES "
+            + ",".join(f"({i},'{['en','en','de','fr'][i % 4]}',{100 + (i % 7)})" for i in range(400))
+            + ") t(doc_id, lang, n_chars)")
+    want = sorted(tuple(r) for r in con.sql("""
+      WITH avail AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS a FROM docs GROUP BY lang),
+      rates AS (SELECT lang,
+          CASE WHEN lang = 'en' THEN LEAST(1.0, 7000.0 / CAST(a AS DOUBLE)) ELSE 0.3 END AS r
+        FROM avail)
+      SELECT d.doc_id, ROUND(r, 6)
+      FROM docs d JOIN rates USING (lang)
+      WHERE lpad(substr(md5(concat('mixture', CAST(doc_id AS VARCHAR))), 1, 8), 9, '0')
+            < printf('%09x', CAST(FLOOR(r * 4294967296.0) AS BIGINT))
+    """).fetchall())
+    assert got == want
+
+
+# --------------------------------------------------- quantile gate
+
+
+def test_quantile_gate_keeps_top_fraction(spark):
+    from opengauss_tools_datachecker_spark.operators.sampling import quantile_gate
+
+    # 100 distinct scores per group → exactly the top 30% + the
+    # interpolated-threshold row survive
+    rows = [("g", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, s double")
+    kept = quantile_gate(df, "s", ["g"], keep_top=0.3)
+    vals = sorted(r["s"] for r in kept.collect())
+    # percentile(0.7) over 0..99 = 69.3 → keep 70..99
+    assert vals == [float(v) for v in range(70, 100)]
+    assert kept.select("gate_thr").distinct().collect()[0][0] == pytest.approx(69.3)
+
+
+def test_quantile_gate_per_group_thresholds(spark):
+    from opengauss_tools_datachecker_spark.operators.sampling import quantile_gate
+
+    rows = [("lo", float(i)) for i in range(10)] + [("hi", float(100 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double")
+    kept = quantile_gate(df, "s", ["g"], keep_top=0.5)
+    got = {(r["g"], r["s"]) for r in kept.collect()}
+    # each group keeps ITS OWN top half — a global threshold would
+    # keep all of 'hi' and none of 'lo'
+    assert {g for g, _ in got} == {"lo", "hi"}
+    assert all(s >= 4.5 for g, s in got if g == "lo")
+    assert all(s >= 104.5 for g, s in got if g == "hi")
+
+
+def test_quantile_gate_ties_all_pass_and_approx_mode(spark):
+    from opengauss_tools_datachecker_spark.operators.sampling import quantile_gate
+
+    df = spark.createDataFrame([("g", 1.0)] * 50 + [("g", 2.0)] * 50, "g string, s double")
+    kept = quantile_gate(df, "s", ["g"], keep_top=0.3)
+    assert kept.count() == 50  # every tie at the threshold value passes
+    approx = quantile_gate(df, "s", ["g"], keep_top=0.3, approx=True)
+    assert approx.count() == 50  # sketch agrees on this trivial split
+
+
+def test_quantile_gate_round_to_pins_threshold(spark):
+    from opengauss_tools_datachecker_spark.operators.sampling import quantile_gate
+
+    df = spark.createDataFrame([("g", float(i)) for i in range(100)], "g string, s double")
+    kept = quantile_gate(df, "s", ["g"], keep_top=0.3, round_to=0)
+    assert kept.select("gate_thr").distinct().collect()[0][0] == 69.0
