@@ -297,20 +297,32 @@ def read_index_meta(spark, index_path: str) -> tuple[int, int] | None:
     return (int(row["n_hashes"]), int(row["band_size"])) if row else None
 
 
-def read_band_index(spark, index_path: str) -> DataFrame:
-    """All indexed (id, band_key) rows across batches."""
+def read_band_index(
+    spark, index_path: str, exclude_batch_id: str | None = None
+) -> DataFrame:
+    """All indexed (id, band_key) rows across batches.
+
+    ``exclude_batch_id`` drops one batch's partition — the replay-
+    idempotency hook: a RETRIED batch that already half-wrote its index
+    partition must probe against everyone else, never against its own
+    earlier attempt (which would emit every doc as a self-match)."""
     df = spark.read.parquet(f"{index_path}/bands")
+    if exclude_batch_id is not None:
+        df = df.filter(F.col("batch_id") != F.lit(exclude_batch_id))
     return df.drop("batch_id")
 
 
-def read_band_stats(spark, index_path: str) -> DataFrame:
+def read_band_stats(
+    spark, index_path: str, exclude_batch_id: str | None = None
+) -> DataFrame:
     """The maintained (band_key, bsz) totals — per-batch increments
-    summed at read; stats-table-sized, never an index scan."""
-    return (
-        spark.read.parquet(f"{index_path}/stats")
-        .groupBy("band_key")
-        .agg(F.sum("bsz").alias("bsz"))
-    )
+    summed at read; stats-table-sized, never an index scan.
+    ``exclude_batch_id`` mirrors :func:`read_band_index`'s replay hook
+    (a retried batch's stale increment must not inflate the cap)."""
+    df = spark.read.parquet(f"{index_path}/stats")
+    if exclude_batch_id is not None:
+        df = df.filter(F.col("batch_id") != F.lit(exclude_batch_id))
+    return df.groupBy("band_key").agg(F.sum("bsz").alias("bsz"))
 
 
 def _pairs_from_bands(

@@ -210,3 +210,90 @@ def windowed_event_rates(
         .groupBy(w, "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
     )
+
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def streaming_neardup_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int = 1000,
+    schema: str = DOCS_STREAM_SCHEMA,
+):
+    """Continuous-ingest near-duplicate detection over the MAINTAINED
+    LSH band index: each micro-batch of documents is MinHash-signed,
+    probed against everything indexed by PRIOR batches (plus within
+    itself), and then indexed — so a doc streaming in today matches the
+    corpus ingested before it without a single old doc being
+    re-tokenized, re-hashed, or re-paired. This is the streaming face
+    of ``dedup.index_batch``/``probe_band_index`` (the batch CLI is
+    ``dedup_index.py``); per-batch cost is O(new bands ⋈ index), the
+    10^12-doc daily-ingest shape.
+
+    Exactly-once-effective under foreachBatch's at-least-once replay:
+
+    - matches land in an ``epoch=<id>`` OVERWRITE partition (the same
+      convention as :func:`incremental_sha256_check`);
+    - the probe reads the index and its stats EXCLUDING the epoch's own
+      batch partition (``exclude_batch_id`` on the readers), so a retry
+      that already half-indexed itself cannot emit every doc as its own
+      'new_old' match or double-count the occupancy cap;
+    - the index/stats writes are themselves per-batch overwrite
+      partitions (``index_batch``), so the retry replaces rather than
+      appends.
+
+    The match output is (new_id, match_id, origin) + the discovered
+    ``epoch`` partition column; union across epochs = the pair set an
+    offline probe of the same batches in arrival order would produce.
+    """
+    from pyspark.errors import AnalysisException
+
+    from opengauss_tools_datachecker_spark.operators import dedup
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        bid = f"epoch_{epoch_id}"
+        sigs = dedup.minhash_signatures(batch_df, id_col, text_col, n_hashes).persist()
+        try:
+            index = dedup.read_band_index(s, index_path, exclude_batch_id=bid)
+            stats = dedup.read_band_stats(s, index_path, exclude_batch_id=bid)
+        except AnalysisException:  # first batch: nothing indexed yet
+            itype = batch_df.schema[id_col].dataType.simpleString()
+            index = s.createDataFrame([], f"{id_col} {itype}, band_key string")
+            stats = s.createDataFrame([], "band_key string, bsz long")
+        matches = dedup.probe_band_index(
+            sigs,
+            index,
+            id_col,
+            n_hashes=n_hashes,
+            band_size=band_size,
+            max_bucket_size=max_bucket_size,
+            index_band_sizes=stats,
+        )
+        matches.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
+        dedup.index_batch(
+            dedup.band_rows(sigs, id_col, n_hashes, band_size),
+            index_path,
+            bid,
+            n_hashes=n_hashes,
+            band_size=band_size,
+        )
+        sigs.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

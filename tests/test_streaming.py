@@ -207,3 +207,93 @@ def test_streaming_exact_dedup_first_occurrence(spark, small_files, tmp_path):
     rows = spark.sql("SELECT * FROM dedup_out").collect()
     assert len(rows) == 50                         # one per distinct digest
     assert all(r.doc_id < 1000 for r in rows)      # smallest id won, batch 1
+
+
+def _neardup_docs(spark, ids, texts):
+    rows = [(i, t, "en", "web", len(t)) for i, t in zip(ids, texts)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_streaming_neardup_index_two_waves(spark, tmp_path):
+    """Wave 2 docs match wave-1 near-dups via the index (origin new_old)
+    without wave 1 being re-hashed; within-wave dups are new_new."""
+    from opengauss_tools_datachecker_spark.streaming.incremental import (
+        streaming_neardup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today "
+    other = "completely different content about database validation engines here "
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "idx")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # wave 1: two near-identical docs (1, 2) + one unrelated (3)
+    _neardup_docs(spark, [1, 2, 3], [base + "x", base + "y", other * 2]).write.parquet(inp)
+    q = streaming_neardup_index(spark, inp, idx, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    got1 = {(r.new_id, r.match_id, r.origin) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, 2, "new_new")}  # within-batch pair, id-ordered
+
+    # wave 2: doc 10 duplicates wave-1 doc 1; doc 11 is fresh
+    _neardup_docs(spark, [10, 11], [base + "x", "nothing like anything seen before " * 3]).write.mode(
+        "append"
+    ).parquet(inp)
+    q = streaming_neardup_index(spark, inp, idx, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.new_id, r.match_id, r.origin) for r in spark.read.parquet(out).collect()}
+    assert (10, 1, "new_old") in got and (10, 2, "new_old") in got
+    assert not any(r[0] == 11 for r in got - got1)  # fresh doc matches nothing
+    # the index now holds both waves' band rows and consistent stats
+    from opengauss_tools_datachecker_spark.operators.dedup import (
+        read_band_index,
+        read_band_stats,
+    )
+
+    bands = read_band_index(spark, idx)
+    stats = read_band_stats(spark, idx)
+    recount = bands.groupBy("band_key").count()
+    joined = stats.join(recount, "band_key", "full")
+    assert joined.filter("bsz IS NULL OR count IS NULL OR bsz <> count").count() == 0
+
+
+def test_streaming_neardup_replay_idempotent(spark, tmp_path):
+    """A replayed epoch (foreachBatch at-least-once) produces the SAME
+    match set: the probe excludes the epoch's own index partition, so
+    the half-indexed retry can't self-match."""
+    from opengauss_tools_datachecker_spark.operators import dedup
+    from opengauss_tools_datachecker_spark.streaming.incremental import (
+        streaming_neardup_index,
+    )
+
+    base = "some repeated sentence for minhash shingles to latch onto firmly "
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "idx")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _neardup_docs(spark, [1, 2], [base + "a", base + "b"]).write.parquet(inp)
+
+    q = streaming_neardup_index(spark, inp, idx, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    first = {(r.new_id, r.match_id, r.origin) for r in spark.read.parquet(out).collect()}
+
+    # simulate the replay: run the SAME epoch's work again by hand —
+    # index partition epoch_0 already exists from the first run
+    batch = _neardup_docs(spark, [1, 2], [base + "a", base + "b"])
+    sigs = dedup.minhash_signatures(batch, "doc_id", "text", 8)
+    index = dedup.read_band_index(spark, idx, exclude_batch_id="epoch_0")
+    stats = dedup.read_band_stats(spark, idx, exclude_batch_id="epoch_0")
+    replayed = dedup.probe_band_index(
+        sigs, index, "doc_id", index_band_sizes=stats
+    )
+    got = {(r.new_id, r.match_id, r.origin) for r in replayed.collect()}
+    assert got == first  # no self-matches, no duplicates — same verdicts
+    # WITHOUT the exclusion every doc would match itself in the index
+    naive = dedup.probe_band_index(
+        sigs, dedup.read_band_index(spark, idx), "doc_id",
+        index_band_sizes=dedup.read_band_stats(spark, idx),
+    )
+    assert any(r.new_id == r.match_id for r in naive.collect())
