@@ -272,7 +272,12 @@ def index_batch(
                 f"{batch_id!r} uses ({n_hashes}, {band_size}); mismatched "
                 "banding never matches any key — rebuild or fix the flags"
             )
-    bands = bands.persist()
+    # a caller that already persisted the band frame (the streaming
+    # path shares ONE frame between probe and index) owns its lifecycle;
+    # only persist-and-release frames this function created the cache for
+    owned = not bands.is_cached
+    if owned:
+        bands = bands.persist()
     (
         bands.groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("bsz"))
@@ -281,7 +286,8 @@ def index_batch(
         .parquet(f"{index_path}/stats/batch_id={batch_id}")
     )
     bands.write.mode("overwrite").parquet(f"{index_path}/bands/batch_id={batch_id}")
-    bands.unpersist()
+    if owned:
+        bands.unpersist()
 
 
 def read_index_meta(spark, index_path: str) -> tuple[int, int] | None:
@@ -418,9 +424,19 @@ def probe_band_index(
     band_size: int = 2,
     max_bucket_size: int = 1000,
     index_band_sizes: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: candidates for a NEW batch against an
     already-indexed corpus plus among the new docs themselves.
+
+    ``bands`` lets the caller supply the batch's PRE-PERSISTED
+    :func:`band_rows` frame and own its cache lifecycle — the streaming
+    path computes band rows once, shares the same frame with
+    :func:`index_batch`, and unpersists after the epoch's writes
+    materialize. When omitted, the frame is computed here and persisted
+    for the session (it feeds three consumers in this plan); a
+    long-running caller invoking this repeatedly should pass ``bands``
+    to avoid accumulating cache entries.
 
     Output: (new_id, match_id, origin) with origin 'new_old' (match_id
     indexed) or 'new_new' (match_id a newer new doc, id-ordered).
@@ -456,12 +472,13 @@ def probe_band_index(
     per-batch band counts via broadcast, so the full index stats table
     is never shuffled.
     """
-    new_bands = band_rows(new_signatures, id_col, n_hashes, band_size).persist()
-    # both the covered/uncovered split and the combined cap read these —
-    # one tiny aggregation, not one per consumer
-    new_sizes = (
-        new_bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("ncnt")).persist()
-    )
+    if bands is None:
+        bands = band_rows(new_signatures, id_col, n_hashes, band_size).persist()
+    new_bands = bands
+    # read twice (covered/uncovered split + combined cap) but NOT
+    # persisted: it's a tiny re-aggregation over the cached band rows,
+    # and an un-releasable persist here would leak per call
+    new_sizes = new_bands.groupBy("band_key").agg(F.count(F.lit(1)).alias("ncnt"))
     if index_band_sizes is None:
         index_band_sizes = index.groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz"))
     else:

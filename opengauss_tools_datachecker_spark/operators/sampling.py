@@ -106,12 +106,18 @@ def mixture_sample(
     """
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    for value, budget in targets.items():
+        if budget < 0:
+            raise ValueError(f"target for {value!r} must be >= 0, got {budget}")
     avail = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("_avail"))
     tgt = F.lit(None).cast("double")
     for value, budget in targets.items():
         tgt = F.when(F.col(stratum_col) == F.lit(value), F.lit(float(budget))).otherwise(tgt)
+    # the lower clamp guards a negative weight sum: an unclamped negative
+    # rate would format as 16-char two's-complement hex whose lpad
+    # truncation compares ABOVE every prefix — silently keeping all rows
     rate = F.when(tgt.isNull(), F.lit(float(default_rate))).otherwise(
-        F.least(F.lit(1.0), tgt / F.col("_avail").cast("double"))
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), tgt / F.col("_avail").cast("double")))
     )
     bound = F.lpad(
         F.format_string("%x", F.floor(F.col("mix_rate") * F.lit(float(_PREFIX_SPACE)))),

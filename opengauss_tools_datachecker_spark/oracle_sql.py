@@ -1213,14 +1213,18 @@ WITH strat AS (
 ),
 avail AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS a FROM documents GROUP BY lang),
 rates AS (
-  SELECT lang, CASE WHEN t IS NULL THEN 0.5 ELSE LEAST(1.0, t / CAST(a AS DOUBLE)) END AS r
+  SELECT lang,
+         CASE WHEN t IS NULL THEN 0.5
+              ELSE GREATEST(0.0, LEAST(1.0, t / CAST(a AS DOUBLE))) END AS r
   FROM (SELECT lang, a,
           CASE lang WHEN 'en' THEN 20000.0 WHEN 'de' THEN 50000.0 ELSE NULL END AS t
         FROM avail)
 ),
 mix AS (
+  -- NULL-safe join: mixture_sample joins eqNullSafe so a NULL stratum
+  -- keeps default_rate; USING(lang) would silently drop those rows
   SELECT 'mixture' AS kind, d.doc_id, d.lang, ROUND(r, 6) AS v1
-  FROM documents d JOIN rates USING (lang)
+  FROM documents d JOIN rates ON (d.lang IS NOT DISTINCT FROM rates.lang)
   WHERE {_MIX_P9} < printf('%09x', CAST(FLOOR(r * 4294967296.0) AS BIGINT))
 ),
 ent AS (SELECT e.doc_id, d.lang, e.entropy_bits

@@ -242,8 +242,9 @@ def streaming_neardup_index(
 
     Exactly-once-effective under foreachBatch's at-least-once replay:
 
-    - matches land in an ``epoch=<id>`` OVERWRITE partition (the same
-      convention as :func:`incremental_sha256_check`);
+    - matches land in a ``run=<run>/epoch=<id>`` OVERWRITE partition
+      (the epoch convention of :func:`incremental_sha256_check`, scoped
+      by run — see below);
     - the probe reads the index and its stats EXCLUDING the epoch's own
       batch partition (``exclude_batch_id`` on the readers), so a retry
       that already half-indexed itself cannot emit every doc as its own
@@ -252,48 +253,89 @@ def streaming_neardup_index(
       partitions (``index_batch``), so the retry replaces rather than
       appends.
 
+    Index batch ids are ``<run>.epoch_<n>`` where ``<run>`` is a random
+    id minted once per checkpoint (:func:`neardup_run_id`, persisted
+    under ``checkpoint_dir``). Epoch numbering restarts at 0 whenever
+    the checkpoint is reset, so an UNSCOPED id would make a fresh query
+    pointed at an existing index silently overwrite the prior run's
+    ``epoch_0`` partitions — invisible data loss, because the probe
+    excludes the epoch's own partition. Run-scoping keeps a restarted
+    SAME-checkpoint query replay-idempotent (same run id → same
+    partition → overwrite replaces the half-written retry) while a
+    reset checkpoint gets fresh partition names and ACCRETES onto the
+    index instead of destroying it.
+
     The match output is (new_id, match_id, origin) + the discovered
-    ``epoch`` partition column; union across epochs = the pair set an
-    offline probe of the same batches in arrival order would produce.
+    ``run``/``epoch`` partition columns; union across epochs of a run =
+    the pair set an offline probe of the same batches in arrival order
+    would produce.
     """
     from pyspark.errors import AnalysisException
 
     from opengauss_tools_datachecker_spark.operators import dedup
 
+    run = neardup_run_id(spark, checkpoint_dir)
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
-        bid = f"epoch_{epoch_id}"
-        sigs = dedup.minhash_signatures(batch_df, id_col, text_col, n_hashes).persist()
+        bid = f"{run}.epoch_{epoch_id}"
+        sigs = dedup.minhash_signatures(batch_df, id_col, text_col, n_hashes)
+        # ONE band frame per epoch, shared by the probe and the index
+        # write (probe_band_index's bands= / index_batch's is_cached
+        # contract), released whatever happens — an unreleased persist
+        # per epoch would grow executor storage for the query's lifetime
+        bands = dedup.band_rows(sigs, id_col, n_hashes, band_size).persist()
         try:
-            index = dedup.read_band_index(s, index_path, exclude_batch_id=bid)
-            stats = dedup.read_band_stats(s, index_path, exclude_batch_id=bid)
-        except AnalysisException:  # first batch: nothing indexed yet
-            itype = batch_df.schema[id_col].dataType.simpleString()
-            index = s.createDataFrame([], f"{id_col} {itype}, band_key string")
-            stats = s.createDataFrame([], "band_key string, bsz long")
-        matches = dedup.probe_band_index(
-            sigs,
-            index,
-            id_col,
-            n_hashes=n_hashes,
-            band_size=band_size,
-            max_bucket_size=max_bucket_size,
-            index_band_sizes=stats,
-        )
-        matches.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
-        dedup.index_batch(
-            dedup.band_rows(sigs, id_col, n_hashes, band_size),
-            index_path,
-            bid,
-            n_hashes=n_hashes,
-            band_size=band_size,
-        )
-        sigs.unpersist()
+            try:
+                index = dedup.read_band_index(s, index_path, exclude_batch_id=bid)
+                stats = dedup.read_band_stats(s, index_path, exclude_batch_id=bid)
+            except AnalysisException:  # first batch: nothing indexed yet
+                itype = batch_df.schema[id_col].dataType.simpleString()
+                index = s.createDataFrame([], f"{id_col} {itype}, band_key string")
+                stats = s.createDataFrame([], "band_key string, bsz long")
+            matches = dedup.probe_band_index(
+                sigs,
+                index,
+                id_col,
+                n_hashes=n_hashes,
+                band_size=band_size,
+                max_bucket_size=max_bucket_size,
+                index_band_sizes=stats,
+                bands=bands,
+            )
+            matches.write.mode("overwrite").parquet(
+                f"{output_dir}/run={run}/epoch={epoch_id}"
+            )
+            dedup.index_batch(
+                bands, index_path, bid, n_hashes=n_hashes, band_size=band_size
+            )
+        finally:
+            bands.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def neardup_run_id(spark: SparkSession, checkpoint_dir: str) -> str:
+    """The run id bound to a streaming checkpoint: read it if the
+    checkpoint has one, else mint one and persist it FIRST (before any
+    epoch runs), so every restart of the same checkpoint — including a
+    crash between the marker write and epoch 0 — resolves the same id.
+    Stored via Spark (filesystem-agnostic, same as the index itself)."""
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    path = f"{checkpoint_dir}/neardup_run"
+    try:
+        return spark.read.parquet(path).first()["run_id"]
+    except AnalysisException:
+        rid = f"r{uuid.uuid4().hex[:12]}"
+        spark.createDataFrame([(rid,)], "run_id string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return rid

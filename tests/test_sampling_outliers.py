@@ -236,7 +236,7 @@ def test_mixture_null_stratum_uses_default(spark):
 
 
 def test_mixture_duckdb_twin(spark):
-    # the gate arm's exact formula, replayed standalone on synthetic data
+    # the mixture arm's exact formula, replayed standalone on synthetic data
     import duckdb
 
     from opengauss_tools_datachecker_spark.operators.sampling import mixture_sample
@@ -308,3 +308,26 @@ def test_quantile_gate_round_to_pins_threshold(spark):
     df = spark.createDataFrame([("g", float(i)) for i in range(100)], "g string, s double")
     kept = quantile_gate(df, "s", ["g"], keep_top=0.3, round_to=0)
     assert kept.select("gate_thr").distinct().collect()[0][0] == 69.0
+
+
+def test_mixture_rejects_negative_target(spark):
+    # an unvalidated negative target used to wrap %x into 16-char
+    # two's-complement hex and keep EVERY row — the inverted sample
+    import pytest as _pytest
+
+    from opengauss_tools_datachecker_spark.operators.sampling import mixture_sample
+
+    d = _mix_docs(spark)
+    with _pytest.raises(ValueError, match="must be >= 0"):
+        mixture_sample(d, "doc_id", "lang", "n_chars", targets={"en": -100.0})
+
+
+def test_mixture_negative_weight_sum_clamps_to_empty(spark):
+    # negative weights can push sum(weight) < 0; the rate clamp keeps the
+    # bound at 0 (keep nothing) instead of hex-wrapping to keep-all
+    from opengauss_tools_datachecker_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "en", -10) for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    kept = mixture_sample(d, "doc_id", "lang", "n_chars", targets={"en": 100.0})
+    assert kept.count() == 0

@@ -281,11 +281,14 @@ def test_streaming_neardup_replay_idempotent(spark, tmp_path):
     first = {(r.new_id, r.match_id, r.origin) for r in spark.read.parquet(out).collect()}
 
     # simulate the replay: run the SAME epoch's work again by hand —
-    # index partition epoch_0 already exists from the first run
+    # index partition <run>.epoch_0 already exists from the first run
+    from opengauss_tools_datachecker_spark.streaming.incremental import neardup_run_id
+
+    bid = f"{neardup_run_id(spark, ckpt)}.epoch_0"
     batch = _neardup_docs(spark, [1, 2], [base + "a", base + "b"])
     sigs = dedup.minhash_signatures(batch, "doc_id", "text", 8)
-    index = dedup.read_band_index(spark, idx, exclude_batch_id="epoch_0")
-    stats = dedup.read_band_stats(spark, idx, exclude_batch_id="epoch_0")
+    index = dedup.read_band_index(spark, idx, exclude_batch_id=bid)
+    stats = dedup.read_band_stats(spark, idx, exclude_batch_id=bid)
     replayed = dedup.probe_band_index(
         sigs, index, "doc_id", index_band_sizes=stats
     )
@@ -297,3 +300,42 @@ def test_streaming_neardup_replay_idempotent(spark, tmp_path):
         index_band_sizes=dedup.read_band_stats(spark, idx),
     )
     assert any(r.new_id == r.match_id for r in naive.collect())
+
+
+def test_streaming_neardup_checkpoint_reset_accretes(spark, tmp_path):
+    """A NEW query (reset checkpoint) pointed at an EXISTING index must
+    not overwrite the prior run's epoch-0 partitions: run-scoped batch
+    ids make epoch numbering collisions impossible, so the old corpus
+    survives and the new batch matches against it."""
+    import shutil
+
+    from opengauss_tools_datachecker_spark.operators.dedup import read_band_index
+    from opengauss_tools_datachecker_spark.streaming.incremental import (
+        streaming_neardup_index,
+    )
+
+    base = "a stable sentence that produces plenty of shingle overlap here "
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "idx")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    _neardup_docs(spark, [1, 2], [base + "a", base + "b"]).write.parquet(inp)
+    q = streaming_neardup_index(spark, inp, idx, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    indexed_before = read_band_index(spark, idx).select("doc_id").distinct().count()
+    assert indexed_before == 2
+
+    # ops move: checkpoint relocated/reset, index retained; the restarted
+    # query's epoch ids begin again at 0
+    shutil.rmtree(ckpt)
+    inp2 = str(tmp_path / "in2")
+    _neardup_docs(spark, [10], [base + "a"]).write.parquet(inp2)
+    q = streaming_neardup_index(spark, inp2, idx, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    # old run's partitions intact (3 docs indexed), and the new doc
+    # matched the OLD corpus — which an epoch_0 overwrite would have lost
+    assert read_band_index(spark, idx).select("doc_id").distinct().count() == 3
+    got = {(r.new_id, r.match_id, r.origin) for r in spark.read.parquet(out).collect()}
+    assert (10, 1, "new_old") in got and (10, 2, "new_old") in got
