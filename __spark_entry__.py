@@ -851,10 +851,13 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, both paths in one frame keyed by
-    `method`: 'exact' is the documented all-pairs baseline; 'lsh' is the
-    sign-LSH-pruned scale path (deterministic planes make the pruning
-    itself oracle-reproducible)."""
+    """Embedding-cosine near-dup pairs, all three paths in one frame
+    keyed by `method`: 'exact' is the documented all-pairs baseline;
+    'lsh' is the sign-LSH-pruned scale path (deterministic planes make
+    the pruning itself oracle-reproducible); 'semantic' is the SemDeDup
+    shape — pairs scored only within a coarse quantizer cell (md5
+    centroids here so the cell assignment is oracle-reproducible;
+    production passes ivf_kmeans_centroids for data-balanced cells)."""
     e = _t(spark, sf_dir, "embeddings")
     exact = ann.exact_near_dup_pairs(e, "vec_id", "embedding", threshold=0.3).select(
         F.lit("exact").alias("method"), "id_a", "id_b", "cos_sim"
@@ -862,7 +865,10 @@ def q_embedding_neardup(spark, sf_dir):
     lsh = ann.near_dup_embeddings(
         e, "vec_id", "embedding", threshold=0.3, n_planes=6, dim=ANN_DIM
     ).select(F.lit("lsh").alias("method"), "id_a", "id_b", "cos_sim")
-    return exact.unionByName(lsh)
+    sem = ann.semantic_dedup_pairs(
+        e, "vec_id", "embedding", threshold=0.3, n_cells=4, dim=ANN_DIM
+    ).select(F.lit("semantic").alias("method"), "id_a", "id_b", "cos_sim")
+    return exact.unionByName(lsh).unionByName(sem)
 
 
 def q_multimodal_features(spark, sf_dir):

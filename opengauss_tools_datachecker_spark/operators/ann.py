@@ -628,6 +628,76 @@ def exact_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cluster-pruned semantic near-dup pairs — the SemDeDup shape
+    (Abbas et al. 2023, arXiv:2303.09540): quantize every embedding to
+    its nearest coarse centroid, then score pairs ONLY within a cell.
+    Output (id_a, id_b, cos_sim), id-ordered, rounded cosine ≥
+    ``threshold``.
+
+    Scale shape at 10^9+ docs: assignment is a map-only Arrow kernel
+    (one matmul-shaped fold per batch, no shuffle); the quadratic pair
+    space is blocked per cell — size n_cells so cells hold ~10³–10⁴
+    members (the paper uses k ≈ corpus/10⁴) and pass
+    :func:`ivf_kmeans_centroids` for data-balanced cells (the md5
+    quantizer stays the engine-reproducible oracle arm). Scoring joins
+    the candidate pairs back to the distributed vector table
+    (:func:`_score_pairs_join`, no corpus collect). Pairs straddling a
+    cell boundary are unseen — the documented SemDeDup recall tradeoff;
+    :func:`near_dup_embeddings` (sign-LSH) is the recall-oriented
+    alternative when misses matter more than cost.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if centroids is None:
+        centroids = ivf_centroids(dim, n_cells)
+    assigned = _probe_cells_kernel(df, id_col, vec_col, centroids, nprobe=1)
+    a = assigned.select(F.col(id_col).alias("query_id"), "_cell")
+    b = assigned.select(F.col(id_col).alias("neighbor_id"), "_cell")
+    pairs = (
+        a.join(b, "_cell").filter(F.col("query_id") < F.col("neighbor_id")).drop("_cell")
+    )
+    raw = _score_pairs_join(pairs, df, id_col, vec_col)
+    return raw.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.round("_raw", 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup keep set: drop every doc that has a LOWER-id same-cell
+    neighbor with cosine ≥ ``threshold``; keep the rest. The drop rule
+    is evaluated against ALL lower-id neighbors (not just kept ones), so
+    it is order-free and embarrassingly parallel — the same
+    keep-lowest-id convention as exact dedup — at the cost of dropping
+    slightly more than a sequential greedy would on ≥-threshold chains.
+    One anti-join over the pair frame; everything else is
+    :func:`semantic_dedup_pairs`'s cell-blocked shape."""
+    pairs = semantic_dedup_pairs(
+        df, id_col, vec_col, threshold=threshold, n_cells=n_cells,
+        centroids=centroids, dim=dim,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 def near_dup_embeddings(
     df: DataFrame,
     id_col: str,

@@ -1016,6 +1016,33 @@ WHERE cos_sim >= {threshold}
 """
 
 
+def _semantic_dedup_sql(n_cells: int = 4, dim: int = 64, threshold: float = 0.3) -> str:
+    """Mirror of ann.semantic_dedup_pairs with the md5 quantizer: assign
+    each vector to its nearest unit centroid (argmax dot, ties → lowest
+    cell — same rule as the IVF oracles), pair WITHIN a cell only."""
+    cents = ivf_centroids(dim, n_cells)
+    dots = []
+    for j, row in enumerate(cents):
+        lit = "[" + ", ".join(repr(w) for w in row) + "]"
+        dots.append(
+            f"list_dot_product(CAST(embedding AS DOUBLE[]), CAST({lit} AS DOUBLE[])) AS s{j}"
+        )
+    s_cols = ", ".join(dots)
+    g = "GREATEST(" + ", ".join(f"s{j}" for j in range(n_cells)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s{j} = g THEN {j}" for j in range(n_cells)
+    ) + " END"
+    return f"""
+WITH d AS (SELECT vec_id, embedding, {s_cols} FROM embeddings),
+asgn AS (SELECT vec_id, embedding, {case} AS cell
+         FROM (SELECT *, {g} AS g FROM d))
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS}, 6) AS cos_sim
+  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+WHERE cos_sim >= {threshold}
+"""
+
+
 ORACLES["q_embedding_neardup"] = f"""
 SELECT 'exact' AS method, id_a, id_b, cos_sim FROM (
   SELECT * FROM (
@@ -1024,6 +1051,8 @@ SELECT 'exact' AS method, id_a, id_b, cos_sim FROM (
   WHERE cos_sim >= 0.3)
 UNION ALL
 SELECT 'lsh', id_a, id_b, cos_sim FROM ({_embedding_neardup_lsh_sql()})
+UNION ALL
+SELECT 'semantic', id_a, id_b, cos_sim FROM ({_semantic_dedup_sql()})
 """
 
 

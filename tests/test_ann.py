@@ -176,3 +176,66 @@ def test_ivf_nprobe2_recall_not_worse(spark):
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1, f"nprobe=2 recall {r2} < nprobe=1 recall {r1}"
     assert r2 > 0.5
+
+
+# ------------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_pairs_are_cell_restricted_exact(spark):
+    """Semantic pairs == exact pairs restricted to a shared quantizer
+    cell (brute-force recompute of both sides in Python)."""
+    import hashlib
+
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120).cache()
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann.semantic_dedup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, n_cells=4, dim=64
+        ).collect()
+    }
+
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = np.array(ann.ivf_centroids(64, 4), dtype=np.float64)
+    cells = np.argmax(X @ C.T, axis=1)  # md5 centroid dots don't tie in practice
+    norms = np.sqrt((X * X).sum(axis=1))
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cells[i] == cells[j]:
+                cos = round(float(X[i] @ X[j] / (norms[i] * norms[j])), 6)
+                if cos >= 0.3:
+                    want.add((ids[i], ids[j]))
+    assert got == want
+
+
+def test_semantic_dedup_keep_set_rule(spark):
+    """Keep x iff no lower-id same-cell neighbor with cos >= threshold —
+    verified against the pair frame itself."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(120).cache()
+    pairs = ann.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, n_cells=4, dim=64
+    )
+    dropped = {r.id_b for r in pairs.collect()}
+    kept = {
+        r.vec_id
+        for r in ann.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.3, n_cells=4, dim=64
+        ).collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept == all_ids - dropped
+    assert kept | dropped == all_ids
+
+
+def test_semantic_dedup_never_collects_corpus(spark, vecs, monkeypatch):
+    def boom(*_a, **_k):
+        raise AssertionError("semantic dedup collected the corpus to the driver")
+
+    monkeypatch.setattr(ann, "_broadcast_corpus", boom)
+    assert (
+        ann.semantic_dedup(vecs, "vec_id", "embedding", 0.9, n_cells=2, dim=4).count() >= 0
+    )
