@@ -12,6 +12,7 @@ Example:
     spark-submit dedup_index.py index --docs /data/day1 --index /idx --batch-id day1
     spark-submit dedup_index.py index --docs /data/day2 --index /idx --batch-id day2
     spark-submit dedup_index.py probe --docs /data/day3 --index /idx --out /idx_hits
+    spark-submit dedup_index.py compact --index /idx          # offline maintenance
 """
 
 from __future__ import annotations
@@ -46,6 +47,15 @@ def main(argv: list[str] | None = None) -> int:
     common(pr)
     pr.add_argument("--max-bucket-size", type=int, default=1000)
     pr.add_argument("--out", help="write (new_id, match_id, origin) parquet here")
+
+    cp = sub.add_parser(
+        "compact",
+        help="fold all batch partitions into one base partition (offline)",
+    )
+    cp.add_argument("--index", required=True, help="band index root dir")
+    cp.add_argument("--compact-id", default="compacted")
+    cp.add_argument("--n-partitions", type=int, default=None)
+    cp.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
     from opengauss_tools_datachecker_spark.operators import dedup
@@ -53,6 +63,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"dedup_index_{args.cmd}", master=args.master)
     try:
+        if args.cmd == "compact":
+            res = dedup.compact_index(
+                spark, args.index, compact_id=args.compact_id,
+                n_partitions=args.n_partitions,
+            )
+            print(
+                f"compacted {res['n_batches']} batches "
+                f"({res['n_rows']} band rows) -> batch_id={res['compact_id']}"
+            )
+            return 0
         docs = spark.read.parquet(args.docs)
         n_hashes, band_size = args.n_hashes, args.band_size
         if args.cmd == "probe":

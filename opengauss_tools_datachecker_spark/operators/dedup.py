@@ -303,6 +303,105 @@ def read_index_meta(spark, index_path: str) -> tuple[int, int] | None:
     return (int(row["n_hashes"]), int(row["band_size"])) if row else None
 
 
+def compact_index(
+    spark,
+    index_path: str,
+    compact_id: str = "compacted",
+    n_partitions: int | None = None,
+) -> dict:
+    """Fold ALL per-batch partitions of the band index into ONE base
+    partition (``batch_id=<compact_id>``) and replace the per-batch
+    stats increments with one exact fold — offline index maintenance
+    for the daily-ingest shape, where thousands of small batch
+    partitions accumulate into a small-files problem and the read-time
+    stats fold grows linearly with batch count. After compaction the
+    index answers the same probes (same rows, same totals), reads one
+    partition, and new batches keep appending incrementally.
+
+    The compacted band rows are clustered (repartition + sort) by
+    ``band_key``, so parquet row groups carry tight band_key min/max —
+    better compression and pruning for any key-filtered maintenance
+    scan.
+
+    Crash safety: band rows are staged under ``.compact_staging``, then
+    swapped in with per-directory ATOMIC renames (live → ``.compact_old``,
+    staging → live); stats are recomputed FROM the staged band rows, so
+    compaction cannot change any (band_key, total) value — a reader
+    racing the swap either fails loudly on a momentarily-missing
+    directory or sees identical stats, never silently wrong ones. A
+    rerun self-heals every crash window: leftover staging is discarded,
+    a missing live directory is rolled back from ``.compact_old``, and
+    a completed-but-uncleaned swap's ``.compact_old`` is dropped. Run
+    it OFFLINE (no concurrent index_batch/probe): the plain-parquet
+    layout has no snapshot protocol — the production analog is Iceberg's
+    rewrite_data_files under a snapshot commit (see sources/snapshots.py
+    for the registry analog).
+
+    Returns {"compact_id", "n_batches", "n_rows"}; no-ops (returns
+    n_batches=0 or 1) when there is nothing to fold.
+    """
+    if not _SAFE_BATCH_ID.fullmatch(compact_id) or compact_id in (".", ".."):
+        raise ValueError(f"compact_id {compact_id!r} is not a safe partition name")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(index_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    staging = hpath(f"{index_path}/.compact_staging")
+    oldroot = hpath(f"{index_path}/.compact_old")
+
+    # --- self-heal crashed runs (see docstring) ---
+    if fs.exists(staging):
+        fs.delete(staging, True)  # crashed before any swap: staging is scratch
+    for d in ("bands", "stats"):
+        live, old = hpath(f"{index_path}/{d}"), hpath(f"{index_path}/.compact_old/{d}")
+        if fs.exists(old) and not fs.exists(live):
+            fs.rename(old, live)  # crashed between the two renames: roll back
+    if fs.exists(oldroot):
+        fs.delete(oldroot, True)  # swap completed earlier, cleanup didn't
+
+    bands_dir = hpath(f"{index_path}/bands")
+    batch_ids = [
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(bands_dir)
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+    ] if fs.exists(bands_dir) else []
+    if len(batch_ids) <= 1:
+        return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": 0}
+
+    bands = read_band_index(spark, index_path)
+    n_parts = n_partitions or max(
+        1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
+    )
+    staged = bands.repartition(n_parts, "band_key").sortWithinPartitions("band_key")
+    staged.write.mode("overwrite").parquet(
+        f"{index_path}/.compact_staging/bands/batch_id={compact_id}"
+    )
+    # stats recomputed from the STAGED rows — an exact fold, identical
+    # totals to read_band_stats' increment sum by construction
+    (
+        spark.read.parquet(f"{index_path}/.compact_staging/bands/batch_id={compact_id}")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/.compact_staging/stats/batch_id={compact_id}")
+    )
+    n_rows = spark.read.parquet(
+        f"{index_path}/.compact_staging/bands/batch_id={compact_id}"
+    ).count()
+
+    fs.mkdirs(oldroot)
+    for d in ("bands", "stats"):
+        live = hpath(f"{index_path}/{d}")
+        if fs.exists(live) and not fs.rename(live, hpath(f"{index_path}/.compact_old/{d}")):
+            raise IOError(f"compaction: failed to move live {d} aside")
+        if not fs.rename(hpath(f"{index_path}/.compact_staging/{d}"), live):
+            raise IOError(f"compaction: failed to swap staged {d} in")
+    fs.delete(oldroot, True)
+    fs.delete(staging, True)
+    return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": n_rows}
+
+
 def read_band_index(
     spark, index_path: str, exclude_batch_id: str | None = None
 ) -> DataFrame:

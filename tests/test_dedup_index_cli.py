@@ -156,3 +156,108 @@ def test_index_batch_id_validated(spark, batches, tmp_path):
     for bad in ("a/b", "a=b", "..", ""):
         with pytest.raises(ValueError):
             dedup.index_batch(bands, str(tmp_path / "idx"), bad)
+
+
+def test_compact_index_preserves_probes_and_stats(spark, batches, tmp_path):
+    """Compaction folds every batch partition into one, keeps the probe
+    answer and the stats totals identical, and the index stays
+    appendable afterwards."""
+    idx = str(tmp_path / "idx")
+    for day in ("day1", "day2"):
+        docs = spark.read.parquet(str(batches / day))
+        bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
+        dedup.index_batch(bands, idx, day, n_hashes=8, band_size=2)
+
+    sigs = dedup.minhash_signatures(
+        spark.read.parquet(str(batches / "day3")), "doc_id", "text"
+    )
+
+    def probe():
+        return {
+            (r.new_id, r.match_id, r.origin)
+            for r in dedup.probe_band_index(
+                sigs, dedup.read_band_index(spark, idx), "doc_id",
+                index_band_sizes=dedup.read_band_stats(spark, idx),
+            ).collect()
+        }
+
+    def stats():
+        return {(r.band_key, r.bsz) for r in dedup.read_band_stats(spark, idx).collect()}
+
+    before_probe, before_stats = probe(), stats()
+    n_rows_before = dedup.read_band_index(spark, idx).count()
+
+    res = dedup.compact_index(spark, idx, n_partitions=2)
+    assert res["n_batches"] == 2 and res["n_rows"] == n_rows_before
+
+    import os
+    assert sorted(os.listdir(f"{idx}/bands")) == ["batch_id=compacted"]
+    assert probe() == before_probe
+    assert stats() == before_stats
+    assert dedup.read_index_meta(spark, idx) == (8, 2)  # meta untouched
+
+    # still appendable: a post-compaction batch folds into the stats
+    docs3 = spark.read.parquet(str(batches / "day3"))
+    bands3 = dedup.band_rows(dedup.minhash_signatures(docs3, "doc_id", "text"), "doc_id")
+    dedup.index_batch(bands3, idx, "day3", n_hashes=8, band_size=2)
+    recount = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_index(spark, idx)
+        .groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).collect()
+    }
+    assert stats() == recount
+
+    # idempotent no-op on a single-partition index... except day3 joined
+    res2 = dedup.compact_index(spark, idx)
+    assert res2["n_batches"] == 2  # compacted + day3 fold again
+    assert stats() == recount
+
+
+def test_compact_index_self_heals_crashed_swap(spark, batches, tmp_path):
+    """Every crash window recovers on rerun: leftover staging discarded,
+    a missing live dir rolled back from .compact_old, a completed swap's
+    .compact_old dropped."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    for day in ("day1", "day2"):
+        docs = spark.read.parquet(str(batches / day))
+        bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
+        dedup.index_batch(bands, idx, day)
+    truth = {(r.band_key, r.bsz) for r in dedup.read_band_stats(spark, idx).collect()}
+
+    # window 1: crash before swap — staging exists, live untouched
+    os.makedirs(f"{idx}/.compact_staging/bands/batch_id=junk", exist_ok=True)
+    res = dedup.compact_index(spark, idx)
+    assert res["n_batches"] == 2
+    assert {(r.band_key, r.bsz) for r in dedup.read_band_stats(spark, idx).collect()} == truth
+
+    # window 2: crash mid-swap — live bands moved aside, staging swapped
+    # for bands but NOT stats; simulate by moving live bands to old
+    os.makedirs(f"{idx}/.compact_old", exist_ok=True)
+    shutil.move(f"{idx}/bands", f"{idx}/.compact_old/bands")
+    res = dedup.compact_index(spark, idx)  # rolls back, then no-op (1 batch)
+    assert res["n_batches"] == 1
+    assert {(r.band_key, r.bsz) for r in dedup.read_band_stats(spark, idx).collect()} == truth
+
+
+def test_compact_cli_e2e(spark, batches):
+    idx = batches / "index_cli_compact"
+    for day in ("day1", "day2"):
+        r = _run("index", "--docs", batches / day, "--index", idx, "--batch-id", day)
+        assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("compact", "--index", idx, "--n-partitions", 2)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "compacted 2 batches" in r.stdout
+    import os
+    assert sorted(os.listdir(str(idx / "bands"))) == ["batch_id=compacted"]
+    # probe still answers over the compacted base
+    out = batches / "hits_compacted"
+    r = _run("probe", "--docs", batches / "day3", "--index", idx, "--out", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {
+        (row.new_id, row.match_id, row.origin)
+        for row in spark.read.parquet(str(out)).collect()
+    }
+    assert (100, 0, "new_old") in got and (101, 2, "new_old") in got
