@@ -401,8 +401,11 @@ def q_simhash(spark, sf_dir):
     return s16.unionByName(s60)
 
 
-def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard verifier, BOTH gate shapes keyed by `kind`:
+def q_shingle_verify(spark, sf_dir):
+    """Exact shingle-overlap verifiers — n-gram Jaccard AND asymmetric
+    containment (|A∩B|/min(|A|,|B|), the snippet-inclusion detector
+    Jaccard misses) — each in BOTH gate shapes, keyed by
+    (`metric`, `kind`):
 
     - kind='full': corpus-wide exact verification — the documented
       small-slice / exact-oracle mode (dedup.py module header: "use
@@ -414,9 +417,10 @@ def q_ngram_jaccard(spark, sf_dir):
       scores are exactly the full scores restricted to candidate
       pairs — which is also how the oracle recomputes the arm.
 
-    The shingle kernel output is PERSISTED and shared by both arms
+    The shingle kernel output is PERSISTED and shared by all four arms
     (shingle_rows=) — per-query the tokenize → shingle kernel runs
-    once, not per arm. The LSH candidate pairs are deliberately NOT
+    once, not per arm — and the LSH candidate frame is computed once
+    and fed to both pruned arms. The candidates are deliberately NOT
     persisted: their band rows are already cached inside
     lsh_candidate_pairs, and a round-4 interleaved A/B (3 trials,
     local[32], sf0.1) measured cand-persist as a ~2 s pessimization
@@ -426,40 +430,31 @@ def q_ngram_jaccard(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents")
     sh = dedup.distinct_shingle_rows(d, "doc_id", "text", shingle_n=3).persist()
-    full = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=0.8, shingle_rows=sh
-    )
     cand = dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
-    pruned = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=0.8, candidates=cand,
-        shingle_rows=sh,
-    )
-    return full.select(
-        F.lit("full").alias("kind"), "id_a", "id_b", "jaccard"
-    ).unionByName(pruned.select(F.lit("pruned").alias("kind"), "id_a", "id_b", "jaccard"))
-
-
-def q_containment(spark, sf_dir):
-    """Asymmetric n-gram containment (|A∩B|/min(|A|,|B|)) — the
-    snippet-inclusion detector Jaccard misses: a short doc fully
-    embedded in a long one scores 1.0 here and ~0 on Jaccard. Same
-    full/pruned two-arm gate shape — and the same measured
-    sh-persist-only reuse — as q_ngram_jaccard (`kind`)."""
-    d = _t(spark, sf_dir, "documents")
-    sh = dedup.distinct_shingle_rows(d, "doc_id", "text", shingle_n=3).persist()
-    full = dedup.ngram_containment_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=0.8, shingle_rows=sh
-    )
-    cand = dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
-    pruned = dedup.ngram_containment_pairs(
-        d, "doc_id", "text", shingle_n=3, threshold=0.8, candidates=cand,
-        shingle_rows=sh,
-    )
-    return full.select(
-        F.lit("full").alias("kind"), "id_a", "id_b", "containment"
-    ).unionByName(
-        pruned.select(F.lit("pruned").alias("kind"), "id_a", "id_b", "containment")
-    )
+    arms = []
+    for metric, fn in (
+        ("jaccard", dedup.ngram_jaccard_pairs),
+        ("containment", dedup.ngram_containment_pairs),
+    ):
+        full = fn(d, "doc_id", "text", shingle_n=3, threshold=0.8, shingle_rows=sh)
+        pruned = fn(
+            d, "doc_id", "text", shingle_n=3, threshold=0.8, candidates=cand,
+            shingle_rows=sh,
+        )
+        for kind, frame in (("full", full), ("pruned", pruned)):
+            arms.append(
+                frame.select(
+                    F.lit(metric).alias("metric"),
+                    F.lit(kind).alias("kind"),
+                    "id_a",
+                    "id_b",
+                    F.col(metric).alias("score"),
+                )
+            )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
 
 
 def q_pack(spark, sf_dir):
@@ -644,19 +639,29 @@ def q_quality(spark, sf_dir):
     return d.select("doc_id", tx.quality_score("text").alias("quality"))
 
 
-def q_secrets(spark, sf_dir):
-    """N8 secrets scan over seeded-injected documents: per-pattern
-    match counts for rows leaking credential material. Pure-map codegen
-    regexp_count — the same projection SecretsRule runs inside the
-    suite on the repo-files table."""
-    from opengauss_tools_datachecker_spark.functions.text import secret_counts
+def q_privacy(spark, sf_dir):
+    """N8 secrets scan + PII detection/redaction over seeded-injected
+    documents, one long-format frame keyed by (`kind`, `pattern`): a
+    row per (doc, pattern) with matches, plus — on the pii rows — the
+    sha256 of the fully-redacted text (digest proves the scrub
+    byte-exact cross-engine; '' sentinel on secret rows keeps the merged
+    frame NULL-free for the gate's sorted compare). Pure map — codegen
+    regexp_count/regexp_replace + a stack() unpivot, zero shuffle at
+    any scale. Same projections SecretsRule runs inside the suite."""
+    from opengauss_tools_datachecker_spark.functions.text import (
+        PII_PATTERNS,
+        SECRET_PATTERNS,
+        pii_counts,
+        pii_redact,
+        secret_counts,
+    )
 
     d = _t(spark, sf_dir, "documents")
     aws = F.concat(
         F.lit("\nkey = AKIA"),
         F.upper(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 16)),
     )
-    seeded = d.withColumn(
+    seeded_sec = d.withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -666,23 +671,18 @@ def q_secrets(spark, sf_dir):
             .otherwise(F.lit("")),
         ),
     )
-    counted = seeded.select("doc_id", *secret_counts("text"))
-    hits = [F.col(c) > 0 for c in counted.columns if c.startswith("n_")]
-    pred = hits[0]
-    for h in hits[1:]:
-        pred = pred | h
-    return counted.filter(pred)
-
-
-def q_pii_scrub(spark, sf_dir):
-    """PII detection + redaction over seeded-injected documents: match
-    counts per pattern and the sha256 of the redacted text (digest
-    proves the scrub byte-exact cross-engine). Pure map — codegen
-    regexp_count/regexp_replace, zero shuffle at any scale."""
-    from opengauss_tools_datachecker_spark.functions.text import pii_counts, pii_redact
-
-    d = _t(spark, sf_dir, "documents")
-    seeded = d.withColumn(
+    sec_stack = ", ".join(f"'{name}', n_{name}" for name, _ in SECRET_PATTERNS)
+    sec = (
+        seeded_sec.select("doc_id", *secret_counts("text"))
+        .select(
+            F.lit("secret").alias("kind"),
+            "doc_id",
+            F.expr(f"stack({len(SECRET_PATTERNS)}, {sec_stack}) AS (pattern, n)"),
+            F.lit("").alias("redacted_sha256"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    seeded_pii = d.withColumn(
         "text",
         F.concat(
             F.col("text"),
@@ -699,12 +699,45 @@ def q_pii_scrub(spark, sf_dir):
             .otherwise(F.lit("")),
         ),
     )
-    counted = seeded.select(
-        "doc_id", *pii_counts("text"), F.sha2(pii_redact("text"), 256).alias("redacted_sha256")
+    pii_stack = ", ".join(f"'{name}', n_{name}" for name, _ in PII_PATTERNS)
+    pii = (
+        seeded_pii.select(
+            "doc_id",
+            *pii_counts("text"),
+            F.sha2(pii_redact("text"), 256).alias("redacted_sha256"),
+        )
+        .select(
+            F.lit("pii").alias("kind"),
+            "doc_id",
+            F.expr(f"stack({len(PII_PATTERNS)}, {pii_stack}) AS (pattern, n)"),
+            "redacted_sha256",
+        )
+        .filter(F.col("n") > 0)
     )
-    return counted.filter(
-        (F.col("n_email") > 0) | (F.col("n_ipv4") > 0) | (F.col("n_ssn") > 0)
-    )
+    return sec.unionByName(pii)
+
+
+def q_unigram_lp(spark, sf_dir):
+    """Per-doc cross-entropy under the corpus unigram LM
+    (operators/relevance.py) — the CCNet-style perplexity proxy for
+    fluency filtering: two combiner-friendly shuffles over the token
+    frame plus an AQE-sized vocab join, no driver collect (token total
+    rides a broadcast 1-row cross-join)."""
+    from opengauss_tools_datachecker_spark.operators.relevance import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")
+
+
+def q_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per doc (operators/relevance.py): smoothed
+    idf, ties broken by token asc; the per-doc top-k rides Spark 4's
+    WindowGroupLimit partial limit (plan-asserted in
+    tests/test_relevance.py)."""
+    from opengauss_tools_datachecker_spark.operators.relevance import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=5).withColumnRenamed("rank", "rnk")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1103,8 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_estimate": q_minhash_estimate,
         "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_containment": q_containment,
+        "q_shingle_verify": q_shingle_verify,
         "q_simhash_neardup": q_simhash_neardup,
         "q_minhash_verified": q_minhash_verified,
         "q_catalog_scan": q_catalog_scan,
@@ -1113,8 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_probe_index": q_probe_index,
         "q_top_tokens": q_top_tokens,
         "q_corpus_filter": q_corpus_filter,
-        "q_secrets": q_secrets,
-        "q_pii_scrub": q_pii_scrub,
+        "q_privacy": q_privacy,
+        "q_unigram_lp": q_unigram_lp,
+        "q_tfidf": q_tfidf,
         "q_fingerprint": q_fingerprint,
         "q_embedding_quality": q_embedding_quality,
         "q_embedding_topk": q_embedding_topk,

@@ -462,36 +462,33 @@ SELECT CAST(60 AS INT), id_a, id_b, hamming FROM (
 # sizes and intersections are unchanged for the surviving pairs)
 
 
-def _verifier_sql(score_expr: str, score_name: str) -> str:
-    return f"""
+ORACLES["q_shingle_verify"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, list_distinct({_shingle3()}) AS s FROM toks WHERE len(w) >= 3),
 ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY 1),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-full_pairs AS (
-  SELECT * FROM (
-    SELECT id_a, id_b, {score_expr} AS {score_name}
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b)
-  WHERE {score_name} >= 0.8),
-cand AS ({{cand_sql}})
-SELECT 'full' AS kind, id_a, id_b, {score_name} FROM full_pairs
+scores AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
+         ROUND(CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b),
+cand AS ({_minhash_sql()}),
+jf AS (SELECT id_a, id_b, jaccard AS score FROM scores WHERE jaccard >= 0.8),
+cf AS (SELECT id_a, id_b, containment AS score FROM scores WHERE containment >= 0.8)
+SELECT 'jaccard' AS metric, 'full' AS kind, id_a, id_b, score FROM jf
 UNION ALL
-SELECT 'pruned' AS kind, f.id_a, f.id_b, f.{score_name}
-FROM full_pairs f JOIN cand c ON f.id_a = c.id_a AND f.id_b = c.id_b
+SELECT 'jaccard', 'pruned', f.id_a, f.id_b, f.score
+FROM jf f JOIN cand c ON f.id_a = c.id_a AND f.id_b = c.id_b
+UNION ALL
+SELECT 'containment', 'full', id_a, id_b, score FROM cf
+UNION ALL
+SELECT 'containment', 'pruned', f.id_a, f.id_b, f.score
+FROM cf f JOIN cand c ON f.id_a = c.id_a AND f.id_b = c.id_b
 """
-
-
-ORACLES["q_ngram_jaccard"] = _verifier_sql(
-    "ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)", "jaccard"
-).format(cand_sql=_minhash_sql())
-
-ORACLES["q_containment"] = _verifier_sql(
-    "ROUND(CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 6)", "containment"
-).format(cand_sql=_minhash_sql())
 
 # character-unigram entropy: per-doc char histogram via position
 # unnest; ROUND(...,6) + 0.0 matches the kernel's round + -0.0
@@ -752,17 +749,15 @@ SELECT doc_id, text ||
        ELSE '' END AS text
 FROM documents
 """
-_SEC_COUNTS = ", ".join(
-    f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+# long-format (kind, doc_id, pattern, n, redacted_sha256) — one SELECT
+# per pattern unioned; '' sentinel keeps the secret rows NULL-free
+_SEC_PARTS = [
+    f"""SELECT 'secret' AS kind, doc_id, '{name}' AS pattern,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n,
+       '' AS redacted_sha256
+FROM seeded_sec WHERE len(regexp_extract_all(text, '{pat}')) > 0"""
     for name, pat in SECRET_PATTERNS
-)
-_SEC_ANY = " OR ".join(
-    f"len(regexp_extract_all(text, '{pat}')) > 0" for _, pat in SECRET_PATTERNS
-)
-ORACLES["q_secrets"] = f"""
-WITH seeded AS ({_SEC_SEED})
-SELECT doc_id, {_SEC_COUNTS} FROM seeded WHERE {_SEC_ANY}
-"""
+]
 
 # PII scrub twin: RE2 and Java regex agree on this ASCII pattern
 # subset; DuckDB regexp_replace needs the 'g' flag to match Spark's
@@ -777,20 +772,56 @@ SELECT doc_id, text ||
        ELSE '' END AS text
 FROM documents
 """
-_PII_COUNTS = ", ".join(
-    f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
-    for name, pat in PII_PATTERNS
-)
 _PII_REDACT = "text"
 for _name, _pat in PII_PATTERNS:
     _PII_REDACT = f"regexp_replace({_PII_REDACT}, '{_pat}', '<{_name.upper()}>', 'g')"
-ORACLES["q_pii_scrub"] = f"""
-WITH seeded AS ({_PII_SEED})
-SELECT doc_id, {_PII_COUNTS}, sha256({_PII_REDACT}) AS redacted_sha256
-FROM seeded
-WHERE len(regexp_extract_all(text, '{PII_PATTERNS[0][1]}')) > 0
-   OR len(regexp_extract_all(text, '{PII_PATTERNS[1][1]}')) > 0
-   OR len(regexp_extract_all(text, '{PII_PATTERNS[2][1]}')) > 0
+_PII_PARTS = [
+    f"""SELECT 'pii' AS kind, doc_id, '{name}' AS pattern,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n,
+       sha256({_PII_REDACT}) AS redacted_sha256
+FROM seeded_pii WHERE len(regexp_extract_all(text, '{pat}')) > 0"""
+    for name, pat in PII_PATTERNS
+]
+ORACLES["q_privacy"] = (
+    f"WITH seeded_sec AS ({_SEC_SEED}),\nseeded_pii AS ({_PII_SEED})\n"
+    + "\nUNION ALL\n".join(_SEC_PARTS + _PII_PARTS)
+)
+
+# corpus unigram LM cross-entropy per doc (relevance.unigram_logprob):
+# ln() of integer-count ratios rounded at 6 — IEEE doubles agree to ~1
+# ulp across engines, far inside the rounding grid. SUM(BIGINT) is
+# HUGEINT in DuckDB — cast back for the bigint n_tok parity.
+_TF_SQL = f"""
+tok AS (SELECT doc_id, t AS token FROM (
+          SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+        WHERE t <> ''),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2)
+"""
+ORACLES["q_unigram_lp"] = f"""
+WITH {_TF_SQL},
+vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS N FROM vocab)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+       ROUND(SUM(tf * -ln(c / N)) / CAST(SUM(tf) AS BIGINT), 6) AS xent
+FROM tf JOIN vocab USING (token), tot
+GROUP BY doc_id
+"""
+
+# top-5 TF-IDF terms per doc (relevance.tfidf_top_terms): smoothed idf
+# ln((D+1)/(df+1)) + 1, ties broken by token asc
+ORACLES["q_tfidf"] = f"""
+WITH {_TF_SQL},
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS D FROM tf),
+scored AS (
+  SELECT doc_id, token,
+         ROUND(tf * (ln((D + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token), nd),
+r AS (SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token ASC) AS rnk
+      FROM scored)
+SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5
 """
 
 ORACLES["q_fingerprint"] = """
