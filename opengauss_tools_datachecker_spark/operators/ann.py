@@ -655,9 +655,12 @@ def semantic_dedup_pairs(
     :func:`near_dup_embeddings` (sign-LSH) is the recall-oriented
     alternative when misses matter more than cost.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     if centroids is None:
+        # dim only feeds the default quantizer — don't pay the probe job
+        # when centroids are fully specified (the documented production
+        # call passes ivf_kmeans_centroids), mirroring ivf_topk
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
         centroids = ivf_centroids(dim, n_cells)
     assigned = _probe_cells_kernel(df, id_col, vec_col, centroids, nprobe=1)
     a = assigned.select(F.col(id_col).alias("query_id"), "_cell")

@@ -226,10 +226,11 @@ def index_batch(
     batch_id: str,
     n_hashes: int | None = None,
     band_size: int | None = None,
-) -> None:
+) -> bool:
     """Append one batch's (id, band_key) rows to the persistable LSH
     band index AND maintain its per-band stats — without ever rescanning
-    the already-indexed corpus.
+    the already-indexed corpus. Returns True if the batch was written,
+    False for the already-compacted no-op below.
 
     Layout under ``index_path``:
 
@@ -252,6 +253,12 @@ def index_batch(
     have yet — the cap then OVER-counts (safe, conservative) until the
     batch retry overwrites both; the reverse order would under-count
     and silently exempt an oversized bucket from the cap.
+
+    Retry AFTER :func:`compact_index` folded the batch away: the rows
+    are already in the compacted base (band rows are deterministic in
+    the doc content, and only a COMMITTED partition gets folded), so
+    re-writing the per-batch partition would duplicate them — the call
+    is a NO-OP returning False instead.
     """
     if not _SAFE_BATCH_ID.fullmatch(batch_id) or batch_id in (".", ".."):
         raise ValueError(
@@ -259,6 +266,8 @@ def index_batch(
             "(allowed: [A-Za-z0-9._-]+, not '.' or '..')"
         )
     spark = bands.sparkSession
+    if batch_id in compacted_batch_ids(spark, index_path):
+        return False
     if n_hashes is not None and band_size is not None:
         recorded = read_index_meta(spark, index_path)
         if recorded is None:
@@ -288,6 +297,7 @@ def index_batch(
     bands.write.mode("overwrite").parquet(f"{index_path}/bands/batch_id={batch_id}")
     if owned:
         bands.unpersist()
+    return True
 
 
 def read_index_meta(spark, index_path: str) -> tuple[int, int] | None:
@@ -303,6 +313,20 @@ def read_index_meta(spark, index_path: str) -> tuple[int, int] | None:
     return (int(row["n_hashes"]), int(row["band_size"])) if row else None
 
 
+def compacted_batch_ids(spark, index_path: str) -> set[str]:
+    """Batch ids whose partitions were folded away by
+    :func:`compact_index` (their rows now live in the compacted base
+    partition, tagged by the ``src_batch`` column). Empty for an index
+    never compacted."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{index_path}/manifest").collect()
+    except AnalysisException:
+        return set()
+    return {r["batch_id"] for r in rows}
+
+
 def compact_index(
     spark,
     index_path: str,
@@ -310,13 +334,21 @@ def compact_index(
     n_partitions: int | None = None,
 ) -> dict:
     """Fold ALL per-batch partitions of the band index into ONE base
-    partition (``batch_id=<compact_id>``) and replace the per-batch
-    stats increments with one exact fold — offline index maintenance
+    partition (``batch_id=<compact_id>``) — offline index maintenance
     for the daily-ingest shape, where thousands of small batch
     partitions accumulate into a small-files problem and the read-time
-    stats fold grows linearly with batch count. After compaction the
+    stats fold grows linearly with file count. After compaction the
     index answers the same probes (same rows, same totals), reads one
     partition, and new batches keep appending incrementally.
+
+    The replay/retry contracts SURVIVE compaction: every folded band
+    row keeps its origin in a ``src_batch`` column, so
+    ``read_band_index/read_band_stats(exclude_batch_id=...)`` still
+    exclude a replayed batch exactly (compacted stats are folded per
+    (band_key, src_batch) for the same reason); and the set of folded
+    ids is recorded in an atomically-swapped ``manifest``, which makes
+    a crashed-and-retried :func:`index_batch` of an already-folded
+    batch a documented NO-OP instead of a silent row duplication.
 
     The compacted band rows are clustered (repartition + sort) by
     ``band_key``, so parquet row groups carry tight band_key min/max —
@@ -330,12 +362,14 @@ def compact_index(
     racing the swap either fails loudly on a momentarily-missing
     directory or sees identical stats, never silently wrong ones. A
     rerun self-heals every crash window: leftover staging is discarded,
-    a missing live directory is rolled back from ``.compact_old``, and
-    a completed-but-uncleaned swap's ``.compact_old`` is dropped. Run
-    it OFFLINE (no concurrent index_batch/probe): the plain-parquet
-    layout has no snapshot protocol — the production analog is Iceberg's
-    rewrite_data_files under a snapshot commit (see sources/snapshots.py
-    for the registry analog).
+    a missing live directory is rolled back from ``.compact_old``
+    (failing LOUDLY if the rollback rename fails — never deleting the
+    only surviving copy), and a completed-but-uncleaned swap's
+    ``.compact_old`` is dropped. Run it OFFLINE (no concurrent
+    index_batch/probe): the plain-parquet layout has no snapshot
+    protocol — the production analog is Iceberg's rewrite_data_files
+    under a snapshot commit (see sources/snapshots.py for the registry
+    analog).
 
     Returns {"compact_id", "n_batches", "n_rows"}; no-ops (returns
     n_batches=0 or 1) when there is nothing to fold.
@@ -348,14 +382,21 @@ def compact_index(
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     staging = hpath(f"{index_path}/.compact_staging")
     oldroot = hpath(f"{index_path}/.compact_old")
+    swap_dirs = ("bands", "stats", "manifest")
 
     # --- self-heal crashed runs (see docstring) ---
     if fs.exists(staging):
         fs.delete(staging, True)  # crashed before any swap: staging is scratch
-    for d in ("bands", "stats"):
+    for d in swap_dirs:
         live, old = hpath(f"{index_path}/{d}"), hpath(f"{index_path}/.compact_old/{d}")
         if fs.exists(old) and not fs.exists(live):
-            fs.rename(old, live)  # crashed between the two renames: roll back
+            # crashed between the two renames: roll back — and verify it,
+            # because .compact_old holds the ONLY copy at this point
+            if not fs.rename(old, live):
+                raise IOError(
+                    f"compaction self-heal: failed to roll back {d} from "
+                    ".compact_old; NOT deleting it (sole surviving copy)"
+                )
     if fs.exists(oldroot):
         fs.delete(oldroot, True)  # swap completed earlier, cleanup didn't
 
@@ -368,30 +409,51 @@ def compact_index(
     if len(batch_ids) <= 1:
         return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": 0}
 
-    bands = read_band_index(spark, index_path)
+    raw = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/bands")
+    # origin of every row: the src_batch tag survives re-compaction,
+    # fresh batch partitions carry only the batch_id partition value
+    src = (
+        F.coalesce(F.col("src_batch"), F.col("batch_id").cast("string"))
+        if "src_batch" in raw.columns
+        else F.col("batch_id").cast("string")
+    )
+    keep_cols = [c for c in raw.columns if c not in ("batch_id", "src_batch")]
     n_parts = n_partitions or max(
         1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
     )
-    staged = bands.repartition(n_parts, "band_key").sortWithinPartitions("band_key")
+    staged = (
+        raw.select(*keep_cols, src.alias("src_batch"))
+        .repartition(n_parts, "band_key")
+        .sortWithinPartitions("band_key")
+    )
     staged.write.mode("overwrite").parquet(
         f"{index_path}/.compact_staging/bands/batch_id={compact_id}"
     )
-    # stats recomputed from the STAGED rows — an exact fold, identical
-    # totals to read_band_stats' increment sum by construction
+    # stats recomputed from the STAGED rows — an exact fold (identical
+    # totals to read_band_stats' increment sum by construction), kept
+    # per (band_key, src_batch) so exclude_batch_id stays exact
+    staged_bands = spark.read.parquet(
+        f"{index_path}/.compact_staging/bands/batch_id={compact_id}"
+    )
     (
-        spark.read.parquet(f"{index_path}/.compact_staging/bands/batch_id={compact_id}")
-        .groupBy("band_key")
+        staged_bands.groupBy("band_key", "src_batch")
         .agg(F.count(F.lit(1)).alias("bsz"))
-        .coalesce(1)
+        .coalesce(max(1, n_parts // 4))
         .write.mode("overwrite")
         .parquet(f"{index_path}/.compact_staging/stats/batch_id={compact_id}")
     )
-    n_rows = spark.read.parquet(
-        f"{index_path}/.compact_staging/bands/batch_id={compact_id}"
-    ).count()
+    n_rows = staged_bands.count()
+    folded = sorted(
+        (compacted_batch_ids(spark, index_path) | set(batch_ids)) - {compact_id}
+    )
+    spark.createDataFrame(
+        [(b,) for b in folded], "batch_id string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/.compact_staging/manifest"
+    )
 
     fs.mkdirs(oldroot)
-    for d in ("bands", "stats"):
+    for d in swap_dirs:
         live = hpath(f"{index_path}/{d}")
         if fs.exists(live) and not fs.rename(live, hpath(f"{index_path}/.compact_old/{d}")):
             raise IOError(f"compaction: failed to move live {d} aside")
@@ -402,19 +464,34 @@ def compact_index(
     return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": n_rows}
 
 
+def _exclude_batch(df: DataFrame, batch_id: str) -> DataFrame:
+    """Drop one batch's rows whether they still live in their own
+    partition or were folded into the compacted base (tagged by
+    ``src_batch``) — keeps the replay hook exact across compaction."""
+    df = df.filter(F.col("batch_id") != F.lit(batch_id))
+    if "src_batch" in df.columns:
+        df = df.filter(
+            F.col("src_batch").isNull() | (F.col("src_batch") != F.lit(batch_id))
+        )
+    return df
+
+
 def read_band_index(
     spark, index_path: str, exclude_batch_id: str | None = None
 ) -> DataFrame:
     """All indexed (id, band_key) rows across batches.
 
-    ``exclude_batch_id`` drops one batch's partition — the replay-
+    ``exclude_batch_id`` drops one batch's rows — the replay-
     idempotency hook: a RETRIED batch that already half-wrote its index
     partition must probe against everyone else, never against its own
-    earlier attempt (which would emit every doc as a self-match)."""
-    df = spark.read.parquet(f"{index_path}/bands")
+    earlier attempt (which would emit every doc as a self-match).
+    Exclusion stays exact after :func:`compact_index` via the
+    ``src_batch`` origin tag (mergeSchema picks the column up when a
+    compacted partition coexists with fresh ones)."""
+    df = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/bands")
     if exclude_batch_id is not None:
-        df = df.filter(F.col("batch_id") != F.lit(exclude_batch_id))
-    return df.drop("batch_id")
+        df = _exclude_batch(df, exclude_batch_id)
+    return df.drop("batch_id", "src_batch")
 
 
 def read_band_stats(
@@ -423,10 +500,12 @@ def read_band_stats(
     """The maintained (band_key, bsz) totals — per-batch increments
     summed at read; stats-table-sized, never an index scan.
     ``exclude_batch_id`` mirrors :func:`read_band_index`'s replay hook
-    (a retried batch's stale increment must not inflate the cap)."""
-    df = spark.read.parquet(f"{index_path}/stats")
+    (a retried batch's stale increment must not inflate the cap);
+    compacted stats keep per-``src_batch`` granularity so the hook
+    stays exact."""
+    df = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/stats")
     if exclude_batch_id is not None:
-        df = df.filter(F.col("batch_id") != F.lit(exclude_batch_id))
+        df = _exclude_batch(df, exclude_batch_id)
     return df.groupBy("band_key").agg(F.sum("bsz").alias("bsz"))
 
 

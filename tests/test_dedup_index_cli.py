@@ -211,6 +211,56 @@ def test_compact_index_preserves_probes_and_stats(spark, batches, tmp_path):
     res2 = dedup.compact_index(spark, idx)
     assert res2["n_batches"] == 2  # compacted + day3 fold again
     assert stats() == recount
+    # manifest accumulates across re-compactions (compact_id never in it)
+    assert dedup.compacted_batch_ids(spark, idx) == {"day1", "day2", "day3"}
+
+
+def test_compact_index_preserves_replay_contracts(spark, batches, tmp_path):
+    """The replay hooks survive compaction: exclude_batch_id still drops
+    a folded batch's rows/stats exactly (src_batch tag), and a retried
+    index_batch of a folded batch is a no-op instead of a duplication."""
+    idx = str(tmp_path / "idx")
+    day_bands = {}
+    for day in ("day1", "day2"):
+        docs = spark.read.parquet(str(batches / day))
+        bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
+        day_bands[day] = bands
+        assert dedup.index_batch(bands, idx, day) is True
+
+    def excl(day):
+        rows = {
+            (r.doc_id, r.band_key)
+            for r in dedup.read_band_index(spark, idx, exclude_batch_id=day).collect()
+        }
+        st = {
+            (r.band_key, r.bsz)
+            for r in dedup.read_band_stats(spark, idx, exclude_batch_id=day).collect()
+        }
+        return rows, st
+
+    before = {d: excl(d) for d in ("day1", "day2")}
+    dedup.compact_index(spark, idx)
+    assert {d: excl(d) for d in ("day1", "day2")} == before
+
+    # retried folded batch: no-op — no per-batch partition reappears,
+    # rows and stats unchanged (no double counting)
+    n_before = dedup.read_band_index(spark, idx).count()
+    assert dedup.index_batch(day_bands["day1"], idx, "day1") is False
+    import os
+    assert sorted(os.listdir(f"{idx}/bands")) == ["batch_id=compacted"]
+    assert dedup.read_band_index(spark, idx).count() == n_before
+    # the streaming replay shape: the retried batch probes against
+    # everyone else, never its own folded rows (zero self-matches)
+    sigs1 = dedup.minhash_signatures(
+        spark.read.parquet(str(batches / "day1")), "doc_id", "text"
+    )
+    hits = dedup.probe_band_index(
+        sigs1,
+        dedup.read_band_index(spark, idx, exclude_batch_id="day1"),
+        "doc_id",
+        index_band_sizes=dedup.read_band_stats(spark, idx, exclude_batch_id="day1"),
+    )
+    assert hits.filter(F.col("new_id") == F.col("match_id")).count() == 0
 
 
 def test_compact_index_self_heals_crashed_swap(spark, batches, tmp_path):
