@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
         "histogram_cube output); skips rescanning the baseline table",
     )
     p.add_argument(
+        "--no-histograms", action="store_true",
+        help="with --registry: skip recording this snapshot's drift "
+        "histogram cube (recorded by default when the drift columns "
+        "exist — a lang+length column-pruned scan, tiny next to the "
+        "suite's content pass)",
+    )
+    p.add_argument(
         "--expected-schema",
         help="DDL schema contract for the input table, e.g. "
         "'repo string, path string, commit string, lang string, content string'; "
@@ -140,6 +147,27 @@ def main(argv: list[str] | None = None) -> int:
         commits = _read(args.commits) if args.commits else None
         baseline = _read(args.baseline) if args.baseline else None
         baseline_cube = _read(args.baseline_cube) if args.baseline_cube else None
+        if (
+            baseline is None
+            and baseline_cube is None
+            and args.registry
+            and args.old_snapshot
+        ):
+            # metadata-only drift: yesterday's recorded cube is the
+            # baseline — no rescan of the old snapshot (explicit
+            # --baseline/--baseline-cube still take precedence above)
+            from opengauss_tools_datachecker_spark.sources.snapshots import (
+                recorded_histograms,
+            )
+
+            baseline_cube = recorded_histograms(
+                spark, args.registry, args.old_snapshot
+            )
+            if baseline_cube is not None:
+                print(
+                    "drift baseline: recorded histogram cube of snapshot "
+                    f"{args.old_snapshot!r}"
+                )
 
         wanted = (
             None if args.rules == "all" else {r.strip() for r in args.rules.split(",")}
@@ -240,6 +268,25 @@ def main(argv: list[str] | None = None) -> int:
             )
             if new_sigs is not None:
                 new_sigs.unpersist()
+            if not args.no_histograms:
+                # record this snapshot's drift cube so TOMORROW's drift
+                # baseline is a metadata read; a lang+length
+                # column-pruned scan (parquet never touches content)
+                from opengauss_tools_datachecker_spark.operators.drift import (
+                    histogram_cube,
+                )
+                from opengauss_tools_datachecker_spark.plans.rules import DriftRule
+                from opengauss_tools_datachecker_spark.sources.snapshots import (
+                    record_histograms,
+                )
+
+                fb = ctx.files_with_bucket()
+                if DriftRule._cat_col(fb) is not None:
+                    record_histograms(
+                        histogram_cube(fb, "lang", DriftRule._len_expr(fb)),
+                        args.registry,
+                        args.snapshot,
+                    )
 
         # summary.log analog
         n_fail = sum(1 for (_, _, _, s) in result.verdicts if s == "FAIL")

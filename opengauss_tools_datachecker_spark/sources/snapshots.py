@@ -230,3 +230,41 @@ def changed_buckets(
         .otherwise(F.lit("modified"))
         .alias("change"),
     )
+
+
+def record_histograms(cube: DataFrame, registry_path: str, snapshot_id: str) -> None:
+    """Persist a drift histogram cube (operators.drift.histogram_cube
+    output: (bucket, cat, len, n)) for one snapshot — IDEMPOTENT per
+    snapshot, same partition-dir-overwrite contract as
+    :func:`record_snapshot`.
+
+    Stored under a derived SIBLING root (``<registry_path>.hist/
+    snapshot_id=<id>``), not inside the signature registry: the
+    signature readers treat ``registry_path`` as one uniformly
+    snapshot_id-partitioned tree, and a foreign subdirectory would
+    break their partition discovery.
+
+    This is the metadata that makes day-over-day drift METADATA-ONLY:
+    the cube is ≤ buckets × categories × length-bins rows, so the next
+    run's drift baseline is a tiny read instead of a rescan of
+    yesterday's table (the same trick `changed_buckets` plays for the
+    content rules)."""
+    _check_snapshot_id(snapshot_id)
+    cube.coalesce(1).write.mode("overwrite").parquet(
+        f"{registry_path}.hist/snapshot_id={snapshot_id}"
+    )
+
+
+def recorded_histograms(
+    spark: SparkSession, registry_path: str, snapshot_id: str
+) -> DataFrame | None:
+    """One snapshot's recorded histogram cube — a single partition-dir
+    read — or None when that snapshot recorded no histograms (older
+    registry, or the input lacked the drift columns)."""
+    from pyspark.errors import AnalysisException
+
+    _check_snapshot_id(snapshot_id)
+    try:
+        return spark.read.parquet(f"{registry_path}.hist/snapshot_id={snapshot_id}")
+    except AnalysisException:
+        return None

@@ -143,3 +143,33 @@ def test_cli_registry_driven_incremental(data, tmp_path_factory):
     # some clean buckets' verdicts carried forward (resumed > 0)
     resumed = int(r2.stdout.split(" resumed")[0].rsplit(" ", 1)[-1])
     assert resumed > 0
+
+
+def test_cli_metadata_only_drift_via_registry(spark, data, tmp_path_factory):
+    """Day 1 records the snapshot's histogram cube alongside its
+    signatures; day 2 (--registry --old-snapshot, no --baseline at all)
+    uses the RECORDED cube as the drift baseline — the old snapshot is
+    never re-read — and flags the bucket whose length distribution was
+    stretched."""
+    work = tmp_path_factory.mktemp("reg_hist")
+    reg, ctl = work / "registry", work / "ctl"
+    r1 = _run("--files", data / "clean", "--manifest", data / "manifest",
+              "--rules", "sha256", "--control", ctl, "--snapshot", "d1",
+              "--registry", reg)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert (Path(str(reg) + ".hist") / "snapshot_id=d1").exists()
+
+    from opengauss_tools_datachecker_spark import fixtures as fx
+
+    clean = spark.read.parquet(str(data / "clean"))
+    fx.stretch_len(clean, bucket=3, factor=3).write.mode("overwrite").parquet(
+        str(work / "drifted")
+    )
+    r2 = _run("--files", work / "drifted", "--rules", "drift",
+              "--control", ctl, "--snapshot", "d2",
+              "--registry", reg, "--old-snapshot", "d1")
+    assert r2.returncode == 1, r2.stderr[-2000:]
+    assert "drift baseline: recorded histogram cube of snapshot 'd1'" in r2.stdout
+    assert "FAIL bucket=3 rule=drift" in r2.stdout
+    # only the stretched bucket drifts vs the recorded cube
+    assert r2.stdout.count("FAIL bucket=") == 1

@@ -183,3 +183,36 @@ def test_record_snapshot_retry_is_idempotent(spark, small_files, tmp_path):
     assert meta[0]["n_rows"] == small_files.count()
     record_snapshot(small_files, reg, "s2", n_buckets=16)
     assert changed_buckets(spark, reg, "s1", "s2").count() == 0
+
+
+def test_histogram_registry_roundtrip(spark, small_files, tmp_path):
+    from opengauss_tools_datachecker_spark.operators.drift import histogram_cube
+    from opengauss_tools_datachecker_spark.sources.snapshots import (
+        record_histograms,
+        recorded_histograms,
+    )
+
+    cube = histogram_cube(small_files, "lang", F.length("content"))
+    reg = str(tmp_path / "reg")
+    record_histograms(cube, reg, "d1")
+    got = recorded_histograms(spark, reg, "d1")
+    assert got is not None
+    want = {tuple(r) for r in cube.collect()}
+    assert {tuple(r) for r in got.collect()} == want
+    # idempotent overwrite
+    record_histograms(cube, reg, "d1")
+    assert {tuple(r) for r in recorded_histograms(spark, reg, "d1").collect()} == want
+    # missing snapshot -> None, unsafe id -> rejected
+    assert recorded_histograms(spark, reg, "never") is None
+    with pytest.raises(ValueError):
+        record_histograms(cube, reg, "a/b")
+    # the sibling .hist root never pollutes the signature registry tree
+    fx_reg = str(tmp_path / "sig")
+    from opengauss_tools_datachecker_spark.sources.snapshots import (
+        record_snapshot,
+        snapshots,
+    )
+
+    record_snapshot(small_files, fx_reg, "d1", 8)
+    record_histograms(cube, fx_reg, "d1")
+    assert snapshots(spark, fx_reg).count() == 1
