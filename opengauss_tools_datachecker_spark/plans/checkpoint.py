@@ -25,7 +25,16 @@ from pyspark.sql.window import Window
 
 CONTROL_SCHEMA = (
     "run_id string, bucket int, rule_id string, rule_version string, "
-    "snapshot_id string, status string, n_violations long, updated_at double"
+    "snapshot_id string, status string, n_violations long, updated_at double, "
+    # per-partition run metrics (north-star: "check status, lineage ...
+    # and metrics are checkpointed"): rows the rule saw in this bucket,
+    # and the wall seconds of the rule's materialization action (rule-
+    # level — concurrent actions share the wall clock, so this is the
+    # action's span, not an exclusive-CPU figure). NULL on rows written
+    # by older code (the explicit read schema backfills them) and on
+    # carried-forward verdicts (their metrics belong to the run that
+    # computed them, joinable via run_id).
+    "n_rows long, elapsed_sec double"
 )
 
 
@@ -64,14 +73,23 @@ class ControlTable:
         snapshot_id: str,
         rule_versions: dict[str, str],
         run_id: str | None = None,
+        metrics: dict[tuple[int, str], tuple[int | None, float | None]] | None = None,
     ) -> None:
-        """Append (bucket, rule_id, n_violations, status) verdicts."""
+        """Append (bucket, rule_id, n_violations, status) verdicts.
+        ``metrics`` maps (bucket, rule_id) → (n_rows, elapsed_sec);
+        missing keys (and carried-forward verdicts) record NULLs."""
         run_id = run_id or uuid.uuid4().hex[:12]
         now = time.time()
-        rows = [
-            (run_id, b, rid, rule_versions.get(rid, "1"), snapshot_id, status, int(n), now)
-            for (b, rid, n, status) in verdict_rows
-        ]
+        metrics = metrics or {}
+        rows = []
+        for (b, rid, n, status) in verdict_rows:
+            n_rows, elapsed = metrics.get((b, rid), (None, None))
+            rows.append(
+                (run_id, b, rid, rule_versions.get(rid, "1"), snapshot_id,
+                 status, int(n), now,
+                 int(n_rows) if n_rows is not None else None,
+                 float(elapsed) if elapsed is not None else None)
+            )
         spark.createDataFrame(rows, CONTROL_SCHEMA).coalesce(1).write.mode("append").parquet(
             self.path
         )

@@ -21,6 +21,7 @@ FAIL verdicts, 2 on errors.
 
 from __future__ import annotations
 
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -250,29 +251,54 @@ def run_suite(
     # concurrently the same way (TableController semaphore,
     # /root/reference src/main/java/com/gauss/controller/TableController.java:29-42).
     def _count(v: DataFrame):
-        return v.groupBy("bucket", "rule_id").agg(F.count("*").alias("n")).collect()
+        t0 = time.monotonic()
+        rows = v.groupBy("bucket", "rule_id").agg(F.count("*").alias("n")).collect()
+        return rows, time.monotonic() - t0
 
     if count_frames:
         with ThreadPoolExecutor(max_workers=len(count_frames)) as pool:
-            per_rule_counts = list(pool.map(_count, count_frames))
+            timed = list(pool.map(_count, count_frames))
+        per_rule_counts = [rows for rows, _ in timed]
+        rule_elapsed = {
+            r.rule_id: dt for r, (_, dt) in zip(active_rules, timed)
+        }
     else:
         per_rule_counts = []
+        rule_elapsed = {}
+
+    # per-bucket input sizes for the control table's metrics columns —
+    # one groupBy over the CACHED narrow projection, metadata-sized
+    bucket_rows: dict[int, int] = {}
+    if not missing and active_rules:
+        bucket_rows = {
+            r.bucket: r.n
+            for r in files.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        total_rows = sum(bucket_rows.values())
 
     counts = {
         (r.bucket, r.rule_id): r.n for rows in per_rule_counts for r in rows
     }
     verdict_rows = []
+    metrics: dict[tuple[int, str], tuple[int | None, float | None]] = {}
     for rule in active_rules:
+        table_granular = getattr(rule, "granularity", "bucket") == "table"
         for b in sorted(per_rule_pending[rule.rule_id]):
             n = counts.get((b, rule.rule_id), 0)
             verdict_rows.append((b, rule.rule_id, n, "FAIL" if n > 0 else "PASS"))
+            if bucket_rows:
+                seen = total_rows if table_granular else bucket_rows.get(b, 0)
+                metrics[(b, rule.rule_id)] = (seen, rule_elapsed.get(rule.rule_id))
 
     violations = empty_violations(ctx.spark)
     for vf in rule_frames:
         violations = violations.unionByName(vf)
 
     if control is not None and verdict_rows:
-        control.record(ctx.spark, verdict_rows, snapshot_id, rule_versions, run_id=ctx.run_id)
+        control.record(
+            ctx.spark, verdict_rows, snapshot_id, rule_versions,
+            run_id=ctx.run_id, metrics=metrics,
+        )
     files.unpersist()
     if manifest is not None:
         manifest.unpersist()

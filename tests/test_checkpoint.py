@@ -138,3 +138,36 @@ def test_incremental_revalidates_only_dirty_buckets(spark, small_files, tmp_path
     assert ctl.completed_pairs(spark, "s1", versions) == {
         (b, rid) for b in range(8) for rid in rids
     }
+
+
+def test_control_rows_carry_run_metrics(spark, small_files, tmp_path):
+    """Every computed verdict checkpoints its metrics (rows seen in the
+    bucket, wall seconds of the rule's materialization action); rows
+    appended without metrics (older code / carried verdicts) read back
+    as NULLs through the explicit schema."""
+    from pyspark.sql import functions as F
+
+    manifest = fx.manifest(small_files)
+    commits = fx.repo_commits(small_files)
+    ctl = ControlTable(str(tmp_path / "control"))
+    run_suite(
+        _ctx(spark, small_files, manifest, commits),
+        rules=[ContentSha256Rule(), UniquenessRule()],
+        control=ctl,
+        snapshot_id="snapA",
+    )
+    rows = ctl.read(spark).collect()
+    assert rows and all(r.elapsed_sec is not None and r.elapsed_sec > 0 for r in rows)
+    by_bucket = {
+        r.bucket: r.n_rows for r in rows if r.rule_id == "sha256"
+    }
+    counted = {
+        r.bucket: r.n
+        for r in small_files.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    truth = {b: counted.get(b, 0) for b in range(8)}  # empty buckets see 0 rows
+    assert by_bucket == truth
+    # a metrics-free append (the carried-verdict shape) reads back NULL
+    ctl.record(spark, [(0, "sha256", 0, "PASS")], "snapB", {"sha256": "1"})
+    carried = ctl.read(spark).filter("snapshot_id = 'snapB'").collect()
+    assert len(carried) == 1 and carried[0].n_rows is None and carried[0].elapsed_sec is None
