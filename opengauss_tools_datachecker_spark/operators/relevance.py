@@ -48,13 +48,21 @@ def doc_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def vocab_counts(tok_counts: DataFrame) -> DataFrame:
+def vocab_counts(tok_counts: DataFrame, min_count: int = 1) -> DataFrame:
     """Corpus unigram counts (token, c) from a doc_token_counts frame —
     the trained "LM". Persist/write this once per corpus snapshot and
     pass it to :func:`unigram_logprob` for incremental scoring of new
     batches (the CCNet shape: LM trained on a reference corpus, applied
-    to every new crawl)."""
-    return tok_counts.groupBy("token").agg(F.sum("tf").alias("c"))
+    to every new crawl).
+
+    ``min_count`` prunes the hapax tail (the pruned-LM shape): tokens
+    below it fall to :func:`unigram_logprob`'s smoothed OOV floor, and
+    the vocab frame shrinks enough to BROADCAST at web scale (Zipf:
+    min_count=2 typically halves the vocabulary). Note the floor
+    ln(alpha/N) is slightly harsher than a kept hapax's ln(1/N) — the
+    standard pruning bias, acceptable for filtering."""
+    vocab = tok_counts.groupBy("token").agg(F.sum("tf").alias("c"))
+    return vocab.filter(F.col("c") >= min_count) if min_count > 1 else vocab
 
 
 def unigram_logprob(
@@ -69,7 +77,9 @@ def unigram_logprob(
 
         xent = round( -(1/n_tok) * sum_t tf_t * ln(c_t / N), 6 )
 
-    with c_t the corpus count of token t and N the corpus token total.
+    with c_t the corpus count of token t and N the vocab's token total
+    (for a ``min_count``-pruned vocab, probabilities renormalize over
+    the kept tokens — the standard pruned-LM convention).
     Low xent = common tokens (fluent/boilerplate), high xent = rare
     tokens (head noise / garbled bytes) — filter both tails, exactly
     like CCNet's per-language perplexity buckets. ``vocab`` is a

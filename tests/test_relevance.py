@@ -124,3 +124,26 @@ def test_no_driver_collect_in_scoring(spark, docs):
     unigram_logprob(docs, "doc_id", "text")
     tfidf_top_terms(docs, "doc_id", "text")
     assert len(tracker.getJobIdsForGroup() or []) == before
+
+
+def test_vocab_min_count_prunes_to_oov_floor(spark, docs):
+    """min_count prunes hapaxes; pruned tokens score the OOV floor and
+    N renormalizes over the kept vocab."""
+    tok = doc_token_counts(docs, "doc_id", "text")
+    full = vocab_counts(tok)
+    pruned = vocab_counts(tok, min_count=2)
+    kept = {r.token for r in pruned.collect()}
+    assert kept == {r.token for r in full.collect() if r.c >= 2}
+    assert "jumps" not in kept and "the" in kept
+    n_kept = pruned.agg(F.sum("c")).first()[0]
+    got = {
+        r.doc_id: r.xent
+        for r in unigram_logprob(
+            docs, "doc_id", "text", vocab=pruned, alpha=0.5
+        ).collect()
+    }
+    # doc 4 = 4x'the': xent is exactly -ln(c_the / N_kept)
+    c_the = dict((r.token, r.c) for r in pruned.collect())["the"]
+    assert got[4] == round(-math.log(c_the / n_kept), 6)
+    # doc 3 is all hapaxes -> every token at the OOV floor
+    assert got[3] == round(-math.log(0.5 / n_kept), 6)
