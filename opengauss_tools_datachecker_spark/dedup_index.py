@@ -93,11 +93,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.cmd == "index":
             bands = dedup.band_rows(sigs, args.id_col, n_hashes, band_size)
-            dedup.index_batch(
+            wrote = dedup.index_batch(
                 bands, args.index, args.batch_id,
                 n_hashes=n_hashes, band_size=band_size,
             )
-            print(f"indexed batch {args.batch_id} -> {args.index}")
+            if wrote:
+                print(f"indexed batch {args.batch_id} -> {args.index}")
+            else:
+                print(
+                    f"batch {args.batch_id} already folded by compaction — "
+                    "no-op (rows are in the compacted base)"
+                )
             return 0
         index = dedup.read_band_index(spark, args.index)
         stats = dedup.read_band_stats(spark, args.index)

@@ -266,8 +266,6 @@ def index_batch(
             "(allowed: [A-Za-z0-9._-]+, not '.' or '..')"
         )
     spark = bands.sparkSession
-    if batch_id in compacted_batch_ids(spark, index_path):
-        return False
     if n_hashes is not None and band_size is not None:
         recorded = read_index_meta(spark, index_path)
         if recorded is None:
@@ -281,6 +279,16 @@ def index_batch(
                 f"{batch_id!r} uses ({n_hashes}, {band_size}); mismatched "
                 "banding never matches any key — rebuild or fix the flags"
             )
+    # AFTER the parameter validation (a misconfigured retry must still
+    # raise loudly, not be masked by the no-op): an already-folded
+    # batch's rows live in the compacted base — rewriting its partition
+    # would duplicate them
+    if batch_id in compacted_batch_ids(spark, index_path):
+        return False
+    # every row carries its origin so the schema stays UNIFORM with the
+    # compacted partition's src_batch tag (readers then never need a
+    # parquet footer-merge) and replay exclusion works either way
+    bands = bands.withColumn("src_batch", F.lit(batch_id))
     # a caller that already persisted the band frame (the streaming
     # path shares ONE frame between probe and index) owns its lifecycle;
     # only persist-and-release frames this function created the cache for
@@ -288,7 +296,7 @@ def index_batch(
     if owned:
         bands = bands.persist()
     (
-        bands.groupBy("band_key")
+        bands.groupBy("band_key", "src_batch")
         .agg(F.count(F.lit(1)).alias("bsz"))
         .coalesce(1)
         .write.mode("overwrite")
@@ -313,17 +321,26 @@ def read_index_meta(spark, index_path: str) -> tuple[int, int] | None:
     return (int(row["n_hashes"]), int(row["band_size"])) if row else None
 
 
+def _index_fs(spark, index_path: str):
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    return hpath, hpath(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _manifest_exists(spark, index_path: str) -> bool:
+    hpath, fs = _index_fs(spark, index_path)
+    return fs.exists(hpath(f"{index_path}/manifest"))
+
+
 def compacted_batch_ids(spark, index_path: str) -> set[str]:
     """Batch ids whose partitions were folded away by
     :func:`compact_index` (their rows now live in the compacted base
     partition, tagged by the ``src_batch`` column). Empty for an index
-    never compacted."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        rows = spark.read.parquet(f"{index_path}/manifest").collect()
-    except AnalysisException:
+    never compacted — detected with one filesystem call, no read
+    attempt, so the per-micro-batch :func:`index_batch` check costs
+    nothing on the common never-compacted index."""
+    if not _manifest_exists(spark, index_path):
         return set()
+    rows = spark.read.parquet(f"{index_path}/manifest").collect()
     return {r["batch_id"] for r in rows}
 
 
@@ -355,13 +372,33 @@ def compact_index(
     better compression and pruning for any key-filtered maintenance
     scan.
 
+    Only COMMITTED batch partitions are folded (those carrying the
+    committer's ``_SUCCESS`` marker — the default Spark/Hadoop output
+    committer writes it; do not disable it on indexed writes).
+    Partitions WITHOUT the marker are half-written leftovers of a
+    crashed :func:`index_batch`: compaction DROPS them (with their
+    stats increments), keeping bands and stats exactly consistent, and
+    leaves them out of the manifest — the batch's retry then writes
+    normally instead of being silently no-opped on rows that were
+    never fully indexed.
+
     Crash safety: band rows are staged under ``.compact_staging``, then
     swapped in with per-directory ATOMIC renames (live → ``.compact_old``,
     staging → live); stats are recomputed FROM the staged band rows, so
     compaction cannot change any (band_key, total) value — a reader
     racing the swap either fails loudly on a momentarily-missing
-    directory or sees identical stats, never silently wrong ones. A
-    rerun self-heals every crash window: leftover staging is discarded,
+    directory or sees identical stats, never silently wrong ones. The
+    directory swaps are not atomic as a GROUP, so their ORDER is the
+    safety argument: the manifest is swapped FIRST — over-listing a
+    batch whose live partition still exists is harmless (its rows are
+    present exactly once; a retry no-ops against present rows), while
+    the reverse order could leave folded rows live with an
+    under-listing manifest, whose retry would then duplicate them. A
+    crash between the bands and stats swaps leaves the old per-batch
+    stats increments live against the compacted bands — same totals by
+    construction (the fold is exact), re-foldable by the next run. A
+    rerun self-heals every crash window: leftover staging is discarded
+    (live directories were never touched before their own swap step),
     a missing live directory is rolled back from ``.compact_old``
     (failing LOUDLY if the rollback rename fails — never deleting the
     only surviving copy), and a completed-but-uncleaned swap's
@@ -376,13 +413,11 @@ def compact_index(
     """
     if not _SAFE_BATCH_ID.fullmatch(compact_id) or compact_id in (".", ".."):
         raise ValueError(f"compact_id {compact_id!r} is not a safe partition name")
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    root = hpath(index_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    hpath, fs = _index_fs(spark, index_path)
     staging = hpath(f"{index_path}/.compact_staging")
     oldroot = hpath(f"{index_path}/.compact_old")
-    swap_dirs = ("bands", "stats", "manifest")
+    # manifest FIRST — see the docstring's swap-order safety argument
+    swap_dirs = ("manifest", "bands", "stats")
 
     # --- self-heal crashed runs (see docstring) ---
     if fs.exists(staging):
@@ -401,15 +436,30 @@ def compact_index(
         fs.delete(oldroot, True)  # swap completed earlier, cleanup didn't
 
     bands_dir = hpath(f"{index_path}/bands")
-    batch_ids = [
+    all_ids = [
         st.getPath().getName().split("=", 1)[1]
         for st in fs.listStatus(bands_dir)
         if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
     ] if fs.exists(bands_dir) else []
+    batch_ids = [
+        b for b in all_ids
+        if fs.exists(hpath(f"{index_path}/bands/batch_id={b}/_SUCCESS"))
+    ]
+    dropped = sorted(set(all_ids) - set(batch_ids))
+    if dropped:
+        print(
+            f"compact_index: dropping uncommitted partition(s) {dropped} "
+            "(no _SUCCESS — crashed index_batch; retry the batch after "
+            "compaction)"
+        )
     if len(batch_ids) <= 1:
         return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": 0}
 
-    raw = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/bands")
+    raw = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", f"{index_path}/bands")
+        .parquet(*[f"{index_path}/bands/batch_id={b}" for b in batch_ids])
+    )
     # origin of every row: the src_batch tag survives re-compaction,
     # fresh batch partitions carry only the batch_id partition value
     src = (
@@ -464,6 +514,18 @@ def compact_index(
     return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": n_rows}
 
 
+def _read_index_dir(spark, index_path: str, sub: str) -> DataFrame:
+    """Read one index directory. Plain read normally (index_batch keeps
+    both layouts schema-uniform via the src_batch tag); a parquet
+    footer-merge only for the legacy-mixed case — pre-tag batch
+    partitions alongside a compacted one — which exactly the manifest's
+    existence flags."""
+    reader = spark.read
+    if _manifest_exists(spark, index_path):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(f"{index_path}/{sub}")
+
+
 def _exclude_batch(df: DataFrame, batch_id: str) -> DataFrame:
     """Drop one batch's rows whether they still live in their own
     partition or were folded into the compacted base (tagged by
@@ -486,9 +548,12 @@ def read_band_index(
     partition must probe against everyone else, never against its own
     earlier attempt (which would emit every doc as a self-match).
     Exclusion stays exact after :func:`compact_index` via the
-    ``src_batch`` origin tag (mergeSchema picks the column up when a
-    compacted partition coexists with fresh ones)."""
-    df = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/bands")
+    ``src_batch`` origin tag. :func:`index_batch` writes the tag on
+    every row, so the schema is uniform and the read needs NO parquet
+    footer-merge; only an index holding pre-tag batch partitions next
+    to a compacted one is mixed, and the manifest's existence flags
+    exactly that case (one filesystem call, not a footer scan)."""
+    df = _read_index_dir(spark, index_path, "bands")
     if exclude_batch_id is not None:
         df = _exclude_batch(df, exclude_batch_id)
     return df.drop("batch_id", "src_batch")
@@ -502,8 +567,8 @@ def read_band_stats(
     ``exclude_batch_id`` mirrors :func:`read_band_index`'s replay hook
     (a retried batch's stale increment must not inflate the cap);
     compacted stats keep per-``src_batch`` granularity so the hook
-    stays exact."""
-    df = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/stats")
+    stays exact (schema-merge economics as in :func:`read_band_index`)."""
+    df = _read_index_dir(spark, index_path, "stats")
     if exclude_batch_id is not None:
         df = _exclude_batch(df, exclude_batch_id)
     return df.groupBy("band_key").agg(F.sum("bsz").alias("bsz"))

@@ -267,14 +267,19 @@ def run_suite(
         rule_elapsed = {}
 
     # per-bucket input sizes for the control table's metrics columns —
-    # one groupBy over the CACHED narrow projection, metadata-sized
+    # one groupBy over the CACHED narrow projection, metadata-sized;
+    # only when someone will record them (control set), and a
+    # did-collect flag rather than dict truthiness so a legitimately
+    # EMPTY table checkpoints n_rows=0, not NULL
     bucket_rows: dict[int, int] = {}
-    if not missing and active_rules:
+    have_metrics = False
+    if control is not None and not missing and active_rules:
         bucket_rows = {
             r.bucket: r.n
             for r in files.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         }
         total_rows = sum(bucket_rows.values())
+        have_metrics = True
 
     counts = {
         (r.bucket, r.rule_id): r.n for rows in per_rule_counts for r in rows
@@ -286,7 +291,7 @@ def run_suite(
         for b in sorted(per_rule_pending[rule.rule_id]):
             n = counts.get((b, rule.rule_id), 0)
             verdict_rows.append((b, rule.rule_id, n, "FAIL" if n > 0 else "PASS"))
-            if bucket_rows:
+            if have_metrics:
                 seen = total_rows if table_granular else bucket_rows.get(b, 0)
                 metrics[(b, rule.rule_id)] = (seen, rule_elapsed.get(rule.rule_id))
 

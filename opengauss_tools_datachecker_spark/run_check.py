@@ -161,7 +161,8 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             baseline_cube = recorded_histograms(
-                spark, args.registry, args.old_snapshot
+                spark, args.registry, args.old_snapshot,
+                expected_n_buckets=args.buckets,
             )
             if baseline_cube is not None:
                 print(
@@ -281,11 +282,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
 
                 fb = ctx.files_with_bucket()
-                if DriftRule._cat_col(fb) is not None:
+                cat = DriftRule._cat_col(fb)
+                if cat is not None:
                     record_histograms(
-                        histogram_cube(fb, "lang", DriftRule._len_expr(fb)),
+                        histogram_cube(fb, cat, DriftRule._len_expr(fb)),
                         args.registry,
                         args.snapshot,
+                        n_buckets=args.buckets,
                     )
 
         # summary.log analog

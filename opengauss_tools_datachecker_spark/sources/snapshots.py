@@ -232,7 +232,9 @@ def changed_buckets(
     )
 
 
-def record_histograms(cube: DataFrame, registry_path: str, snapshot_id: str) -> None:
+def record_histograms(
+    cube: DataFrame, registry_path: str, snapshot_id: str, n_buckets: int
+) -> None:
     """Persist a drift histogram cube (operators.drift.histogram_cube
     output: (bucket, cat, len, n)) for one snapshot — IDEMPOTENT per
     snapshot, same partition-dir-overwrite contract as
@@ -248,23 +250,42 @@ def record_histograms(cube: DataFrame, registry_path: str, snapshot_id: str) -> 
     the cube is ≤ buckets × categories × length-bins rows, so the next
     run's drift baseline is a tiny read instead of a rescan of
     yesterday's table (the same trick `changed_buckets` plays for the
-    content rules)."""
+    content rules). ``n_buckets`` is stored with the rows — the same
+    reject-on-mismatch contract as the signature registry: bucket ids
+    are only comparable at equal bucket counts."""
     _check_snapshot_id(snapshot_id)
-    cube.coalesce(1).write.mode("overwrite").parquet(
-        f"{registry_path}.hist/snapshot_id={snapshot_id}"
-    )
+    cube.withColumn("n_buckets", F.lit(int(n_buckets))).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{registry_path}.hist/snapshot_id={snapshot_id}")
 
 
 def recorded_histograms(
-    spark: SparkSession, registry_path: str, snapshot_id: str
+    spark: SparkSession,
+    registry_path: str,
+    snapshot_id: str,
+    expected_n_buckets: int | None = None,
 ) -> DataFrame | None:
     """One snapshot's recorded histogram cube — a single partition-dir
     read — or None when that snapshot recorded no histograms (older
-    registry, or the input lacked the drift columns)."""
+    registry, or the input lacked the drift columns). With
+    ``expected_n_buckets``, a cube recorded at a different bucket count
+    is REJECTED (ValueError) instead of silently comparing each bucket
+    against a different slice of yesterday's data."""
     from pyspark.errors import AnalysisException
 
     _check_snapshot_id(snapshot_id)
     try:
-        return spark.read.parquet(f"{registry_path}.hist/snapshot_id={snapshot_id}")
+        cube = spark.read.parquet(f"{registry_path}.hist/snapshot_id={snapshot_id}")
     except AnalysisException:
         return None
+    if expected_n_buckets is not None:
+        row = cube.select("n_buckets").first()
+        recorded = int(row["n_buckets"]) if row else None
+        if recorded is not None and recorded != int(expected_n_buckets):
+            raise ValueError(
+                f"histogram cube for snapshot {snapshot_id!r} was recorded "
+                f"at n_buckets={recorded}, this run uses "
+                f"{expected_n_buckets}; bucket-misaligned drift baselines "
+                "are rejected — re-record or match --buckets"
+            )
+    return cube.drop("n_buckets")

@@ -311,3 +311,43 @@ def test_compact_cli_e2e(spark, batches):
         for row in spark.read.parquet(str(out)).collect()
     }
     assert (100, 0, "new_old") in got and (101, 2, "new_old") in got
+
+
+def test_compact_index_drops_uncommitted_partitions(spark, batches, tmp_path):
+    """A half-written partition (no _SUCCESS — crashed index_batch) is
+    never folded: compaction drops it and leaves it out of the manifest,
+    so the batch's retry writes normally instead of no-opping on rows
+    that were never fully indexed."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    day_bands = {}
+    for day in ("day1", "day2", "day3"):
+        docs = spark.read.parquet(str(batches / day))
+        bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
+        day_bands[day] = bands
+        dedup.index_batch(bands, idx, day)
+    # simulate day3's crash: committed marker never landed
+    os.remove(f"{idx}/bands/batch_id=day3/_SUCCESS")
+    day3_rows = day_bands["day3"].count()
+    total_before = dedup.read_band_index(spark, idx).count()
+
+    res = dedup.compact_index(spark, idx)
+    assert res["n_batches"] == 2  # day3 not folded
+    assert res["n_rows"] == total_before - day3_rows
+    assert sorted(os.listdir(f"{idx}/bands")) == ["batch_id=compacted"]
+    assert dedup.compacted_batch_ids(spark, idx) == {"day1", "day2"}
+    # the retry is NOT a no-op — it indexes day3 for real
+    assert dedup.index_batch(day_bands["day3"], idx, "day3") is True
+    assert dedup.read_band_index(spark, idx).count() == total_before
+    # stats consistent with a full recount after the retry
+    recount = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_index(spark, idx)
+        .groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).collect()
+    }
+    stats = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_stats(spark, idx).collect()
+    }
+    assert stats == recount

@@ -194,18 +194,23 @@ def test_histogram_registry_roundtrip(spark, small_files, tmp_path):
 
     cube = histogram_cube(small_files, "lang", F.length("content"))
     reg = str(tmp_path / "reg")
-    record_histograms(cube, reg, "d1")
-    got = recorded_histograms(spark, reg, "d1")
+    record_histograms(cube, reg, "d1", n_buckets=8)
+    got = recorded_histograms(spark, reg, "d1", expected_n_buckets=8)
     assert got is not None
     want = {tuple(r) for r in cube.collect()}
     assert {tuple(r) for r in got.collect()} == want
     # idempotent overwrite
-    record_histograms(cube, reg, "d1")
-    assert {tuple(r) for r in recorded_histograms(spark, reg, "d1").collect()} == want
+    record_histograms(cube, reg, "d1", n_buckets=8)
+    assert {
+        tuple(r) for r in recorded_histograms(spark, reg, "d1").collect()
+    } == want
+    # bucket-count mismatch -> rejected, never a misaligned baseline
+    with pytest.raises(ValueError, match="n_buckets"):
+        recorded_histograms(spark, reg, "d1", expected_n_buckets=16)
     # missing snapshot -> None, unsafe id -> rejected
     assert recorded_histograms(spark, reg, "never") is None
     with pytest.raises(ValueError):
-        record_histograms(cube, reg, "a/b")
+        record_histograms(cube, reg, "a/b", n_buckets=8)
     # the sibling .hist root never pollutes the signature registry tree
     fx_reg = str(tmp_path / "sig")
     from opengauss_tools_datachecker_spark.sources.snapshots import (
@@ -214,5 +219,5 @@ def test_histogram_registry_roundtrip(spark, small_files, tmp_path):
     )
 
     record_snapshot(small_files, fx_reg, "d1", 8)
-    record_histograms(cube, fx_reg, "d1")
+    record_histograms(cube, fx_reg, "d1", n_buckets=8)
     assert snapshots(spark, fx_reg).count() == 1
