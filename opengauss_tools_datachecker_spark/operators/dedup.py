@@ -285,14 +285,17 @@ def index_batch(
     # would duplicate them
     if batch_id in compacted_batch_ids(spark, index_path):
         return False
+    # a caller that already persisted the band frame (the streaming
+    # path shares ONE frame between probe and index) owns its lifecycle;
+    # only persist-and-release frames this function created the cache
+    # for. Checked BEFORE the src_batch projection below — the derived
+    # frame always reports is_cached=False, and persisting it would
+    # silently double every epoch's cached band rows.
+    owned = not bands.is_cached
     # every row carries its origin so the schema stays UNIFORM with the
     # compacted partition's src_batch tag (readers then never need a
     # parquet footer-merge) and replay exclusion works either way
     bands = bands.withColumn("src_batch", F.lit(batch_id))
-    # a caller that already persisted the band frame (the streaming
-    # path shares ONE frame between probe and index) owns its lifecycle;
-    # only persist-and-release frames this function created the cache for
-    owned = not bands.is_cached
     if owned:
         bands = bands.persist()
     (
@@ -445,6 +448,17 @@ def compact_index(
         b for b in all_ids
         if fs.exists(hpath(f"{index_path}/bands/batch_id={b}/_SUCCESS"))
     ]
+    if all_ids and not batch_ids:
+        # NO partition carries the marker — that is a committer
+        # configuration (marksuccessfuljobs=false), not N simultaneous
+        # crashes; refusing beats silently deleting a committed index
+        raise ValueError(
+            f"no partition under {index_path}/bands carries a _SUCCESS "
+            "marker; compact_index distinguishes crashed from committed "
+            "writes by it — re-enable "
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs for indexed "
+            "writes (or rebuild the index) before compacting"
+        )
     dropped = sorted(set(all_ids) - set(batch_ids))
     if dropped:
         print(
@@ -452,6 +466,25 @@ def compact_index(
             "(no _SUCCESS — crashed index_batch; retry the batch after "
             "compaction)"
         )
+    # orphan-stats cleanup: a stats increment with NO bands partition
+    # and NO manifest entry belongs to a batch that never committed
+    # (index_batch writes stats BEFORE bands, so its crash window leaves
+    # one; so does a partial partition dropped by an interrupted earlier
+    # compaction) — left alone it would over-count its band keys FOREVER
+    # if the batch is never retried. Manifest-listed ids are NOT orphans:
+    # in the crash window between the bands and stats swaps, the folded
+    # batches' old increments ARE the live totals for the compacted rows.
+    stats_dir = hpath(f"{index_path}/stats")
+    if fs.exists(stats_dir):
+        accounted = set(all_ids) | compacted_batch_ids(spark, index_path)
+        for st in fs.listStatus(stats_dir):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("batch_id=")):
+                continue
+            sid = name.split("=", 1)[1]
+            if sid not in accounted:
+                print(f"compact_index: dropping orphan stats partition {sid!r}")
+                fs.delete(st.getPath(), True)
     if len(batch_ids) <= 1:
         return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": 0}
 

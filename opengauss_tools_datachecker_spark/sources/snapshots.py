@@ -279,6 +279,16 @@ def recorded_histograms(
     except AnalysisException:
         return None
     if expected_n_buckets is not None:
+        if "n_buckets" not in cube.columns:
+            # pre-versioning cube: its bucket count is UNKNOWN, which is
+            # exactly the misalignment this check exists to stop — same
+            # reject-and-re-record contract as _recorded_n_buckets
+            raise ValueError(
+                f"histogram cube for snapshot {snapshot_id!r} predates "
+                "bucket-count versioning; re-record it (run a full "
+                "validation with --registry) before using it as a drift "
+                "baseline"
+            )
         row = cube.select("n_buckets").first()
         recorded = int(row["n_buckets"]) if row else None
         if recorded is not None and recorded != int(expected_n_buckets):

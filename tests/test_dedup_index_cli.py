@@ -351,3 +351,49 @@ def test_compact_index_drops_uncommitted_partitions(spark, batches, tmp_path):
         for r in dedup.read_band_stats(spark, idx).collect()
     }
     assert stats == recount
+
+
+def test_compact_index_cleans_orphan_stats(spark, batches, tmp_path):
+    """A stats increment whose batch never committed its bands (the
+    index_batch stats-before-bands crash window) is deleted at
+    compaction, so a never-retried batch can't over-count its band keys
+    forever. Stats of manifest-listed (folded) batches are NOT touched."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    for day in ("day1", "day2"):
+        docs = spark.read.parquet(str(batches / day))
+        bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
+        dedup.index_batch(bands, idx, day)
+    # simulate the crash window: stats landed, bands never did
+    shutil.copytree(f"{idx}/stats/batch_id=day1", f"{idx}/stats/batch_id=ghost")
+    res = dedup.compact_index(spark, idx)
+    assert res["n_batches"] == 2
+    assert sorted(os.listdir(f"{idx}/stats")) == ["batch_id=compacted"]
+    recount = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_index(spark, idx)
+        .groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).collect()
+    }
+    assert {
+        (r.band_key, r.bsz) for r in dedup.read_band_stats(spark, idx).collect()
+    } == recount
+
+
+def test_compact_index_refuses_markerless_index(spark, batches, tmp_path):
+    """Every partition missing _SUCCESS means the committer's markers are
+    disabled, not N simultaneous crashes — refuse loudly instead of
+    silently deleting a committed index."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    for day in ("day1", "day2"):
+        docs = spark.read.parquet(str(batches / day))
+        bands = dedup.band_rows(dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id")
+        dedup.index_batch(bands, idx, day)
+        os.remove(f"{idx}/bands/batch_id={day}/_SUCCESS")
+    before = dedup.read_band_index(spark, idx).count()
+    with pytest.raises(ValueError, match="_SUCCESS"):
+        dedup.compact_index(spark, idx)
+    assert dedup.read_band_index(spark, idx).count() == before  # untouched
