@@ -744,9 +744,12 @@ def probe_band_index(
     (new-batch count + index count) per band: a boilerplate band with
     10^5 copies in the batch must not fan out against a sub-cap index
     bucket any more than an oversized index bucket may fan out against
-    the batch. The combined check joins index stats to the (tiny)
-    per-batch band counts via broadcast, so the full index stats table
-    is never shuffled.
+    the batch. The combined check equi-joins index stats to the
+    per-batch band counts WITHOUT a forced broadcast — the batch count
+    frame is batch-cardinality (one row per distinct band key), so the
+    hint would fail the job at real daily-ingest sizes; AQE
+    runtime-broadcasts it when it measures small. Only ``bad_keys``
+    (cap violators) keeps a forced hint — small by construction.
     """
     if bands is None:
         bands = band_rows(new_signatures, id_col, n_hashes, band_size).persist()
@@ -764,17 +767,27 @@ def probe_band_index(
         uncovered = new_sizes.join(
             index_band_sizes, "band_key", "left_anti"
         ).select("band_key")
+        # join deliberately UNFORCED: ``uncovered`` is batch-cardinality
+        # in the worst case (fresh stats table → every batch band key),
+        # far past broadcast capacity for a 10^8-doc daily batch. AQE
+        # runtime-broadcasts it when it measures small; paired A/B on
+        # the analogous verifier semi-joins showed the unforced plan is
+        # also ~20% faster (BENCH/BASELINE.md round-4 A/B).
         recounted = (
-            index.join(F.broadcast(uncovered), "band_key")
+            index.join(uncovered, "band_key")
             .groupBy("band_key")
             .agg(F.count(F.lit(1)).alias("bsz"))
         )
         index_band_sizes = index_band_sizes.select("band_key", "bsz").unionByName(
             recounted
         )
-    # index stats pruned to the batch's band keys (broadcast), then the
+    # index stats pruned to the batch's band keys (UNFORCED equi-join:
+    # ``new_sizes`` has one row per distinct band key in the batch —
+    # ~4× the batch's doc count for the daily-ingest shape, so a forced
+    # broadcast would fail the job exactly on the hot path; AQE picks
+    # broadcast at runtime when the batch really is small), then the
     # combined cap names the bad keys — a small set by construction
-    relevant = index_band_sizes.join(F.broadcast(new_sizes), "band_key")
+    relevant = index_band_sizes.join(new_sizes, "band_key")
     bad_keys = relevant.filter(
         (F.col("ncnt") + F.col("bsz")) > max_bucket_size
     ).select("band_key")

@@ -12,9 +12,14 @@ at-least-once on failure/replay, so each batch overwrites its own
 windowed event-rate monitor (the streaming analog of the reference's
 StatAggregation TPS printer, StatAggregation.java:45-126).
 
-Scale notes: the per-batch join is stream-static; keep the manifest in
-a broadcast-able or bucketed store. Watermark bounds state; output is
-append-only violations.
+Scale notes: the per-batch join is stream-static and deliberately
+carries NO forced broadcast hint — the manifest is corpus-sized (one
+row per file), so a forced hint would attempt an impossible broadcast
+every epoch at 10^12-file scale. Pass a manifest read from the
+bucketed layout (``sources.layout.read_bucketed``) so the per-epoch
+join prunes/co-locates instead of shuffling the corpus; AQE still
+runtime-broadcasts genuinely small manifests. Watermark bounds state;
+output is append-only violations.
 """
 
 from __future__ import annotations
@@ -55,21 +60,33 @@ def incremental_sha256_check(
     observed = stream.select(*KEY_COLS, F.sha2("content", 256).alias("observed"))
 
     def verify_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        joined = batch_df.join(F.broadcast(manifest), KEY_COLS, "left")
-        violations = joined.filter(
-            ~F.col("observed").eqNullSafe(F.col("expected_sha256"))
-        ).select(
-            F.lit("sha256_incremental").alias("rule_id"),
-            F.concat_ws("|", *KEY_COLS).alias("key"),
-            "observed",
-            F.col("expected_sha256").alias("expected"),
-        )
+        violations = manifest_violations(batch_df, manifest)
         violations.write.mode("overwrite").parquet(f"{output_dir}/epoch={epoch_id}")
 
     return (
         observed.writeStream.foreachBatch(verify_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
+    )
+
+
+def manifest_violations(batch_df: DataFrame, manifest: DataFrame) -> DataFrame:
+    """The per-epoch verification join of :func:`incremental_sha256_check`,
+    exposed so its plan shape is directly testable: an UNFORCED
+    stream-static left join — the manifest is corpus-sized (one row per
+    file), so a forced broadcast hint would attempt an impossible
+    broadcast every epoch at 10^12-file scale. Pass a manifest read
+    from the bucketed layout (``sources.layout.read_bucketed``) and the
+    join co-locates without shuffling the corpus; AQE still
+    runtime-broadcasts a genuinely small manifest."""
+    joined = batch_df.join(manifest, KEY_COLS, "left")
+    return joined.filter(
+        ~F.col("observed").eqNullSafe(F.col("expected_sha256"))
+    ).select(
+        F.lit("sha256_incremental").alias("rule_id"),
+        F.concat_ws("|", *KEY_COLS).alias("key"),
+        "observed",
+        F.col("expected_sha256").alias("expected"),
     )
 
 
@@ -83,7 +100,8 @@ def running_repo_progress(
     counters (/root/reference src/main/java/com/gauss/common/stats/
     ProgressTracer.java:52-94, StatAggregation.java:45-126) — but exact
     and distributed: each micro-batch's rows are verified against the
-    static manifest (broadcast stream-static join), then
+    static manifest (UNFORCED stream-static join — the manifest is
+    corpus-sized; see module docstring), then
     ``applyInPandasWithState`` folds (rows_seen, mismatches) into
     per-repo state that survives across batches. Output mode "update":
     one row per repo per batch with the running totals.
@@ -96,7 +114,7 @@ def running_repo_progress(
     observed = stream.select(
         "repo", *[c for c in KEY_COLS if c != "repo"], F.sha2("content", 256).alias("observed")
     )
-    flagged = observed.join(F.broadcast(manifest), KEY_COLS, "left").select(
+    flagged = observed.join(manifest, KEY_COLS, "left").select(
         "repo",
         (~F.col("observed").eqNullSafe(F.col("expected_sha256"))).cast("long").alias("bad"),
     )
@@ -287,13 +305,23 @@ def streaming_neardup_index(
         # per epoch would grow executor storage for the query's lifetime
         bands = dedup.band_rows(sigs, id_col, n_hashes, band_size).persist()
         try:
+            # the two reads fail INDEPENDENTLY: empty-index fallback only
+            # when the bands themselves are absent (true first batch). An
+            # index whose stats tree is missing/corrupt (e.g. bootstrapped
+            # via plain band-row writes) must NOT silently probe an empty
+            # index — that is a false-clean; stats=None makes the probe
+            # recount occupancy from the index itself instead.
             try:
                 index = dedup.read_band_index(s, index_path, exclude_batch_id=bid)
-                stats = dedup.read_band_stats(s, index_path, exclude_batch_id=bid)
             except AnalysisException:  # first batch: nothing indexed yet
                 itype = batch_df.schema[id_col].dataType.simpleString()
                 index = s.createDataFrame([], f"{id_col} {itype}, band_key string")
                 stats = s.createDataFrame([], "band_key string, bsz long")
+            else:
+                try:
+                    stats = dedup.read_band_stats(s, index_path, exclude_batch_id=bid)
+                except AnalysisException:  # bands exist, stats don't
+                    stats = None
             matches = dedup.probe_band_index(
                 sigs,
                 index,

@@ -377,21 +377,52 @@ def test_verifier_candidates_unforced_broadcast_completes(spark):
 
 
 def test_probe_band_index_broadcasts_small_sides(spark):
-    """Scale property: the combined-cap stats join and the bad-key
-    exclusion reach the plan as broadcast joins — the full index stats
-    are never shuffled against the batch."""
+    """Scale property: the per-batch band-count frames (``new_sizes``,
+    ``uncovered``) carry NO forced broadcast hint — they are
+    batch-cardinality at daily-ingest scale, so with broadcast disabled
+    (the stand-in for 'batch outgrew broadcast capacity') the probe
+    degrades to shuffle joins and still returns the same matches.
+    Only ``bad_keys`` (cap violators, small by construction) keeps a
+    forced hint."""
     old = spark.createDataFrame(
-        [(i, f"doc body {i} unique words") for i in range(20)],
+        [(i, f"doc body {i} unique words") for i in range(20)]
+        + [(90 + i, "same same same same same") for i in range(30)],
         "doc_id long, text string",
     )
     index = dedup.band_rows(
         dedup.minhash_signatures(old, "doc_id", "text"), "doc_id"
     ).cache()
-    new = spark.createDataFrame([(100, "doc body 3 unique words")], "doc_id long, text string")
-    plan = (
-        dedup.probe_band_index(
-            dedup.minhash_signatures(new, "doc_id", "text"), index, "doc_id"
-        )._jdf.queryExecution().optimizedPlan().toString()
+    # partial stats: force the uncovered-key recount path too
+    stats = (
+        index.filter("substring(band_key, 1, 1) < 'd'")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
     )
-    # broadcast hints survive into the optimized plan
-    assert plan.count("LeftAnti") >= 1
+    new = spark.createDataFrame(
+        [(200, "doc body 3 unique words"), (201, "same same same same same")],
+        "doc_id long, text string",
+    )
+    new_sigs = dedup.minhash_signatures(new, "doc_id", "text")
+    want = sorted(map(tuple, dedup.probe_band_index(
+        new_sigs, index, "doc_id", max_bucket_size=10, index_band_sizes=stats
+    ).collect()))
+    assert any(o == "new_old" for _, _, o in want)  # non-degenerate fixture
+    conf = spark.conf
+    old_static = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        q = dedup.probe_band_index(
+            new_sigs, index, "doc_id", max_bucket_size=10, index_band_sizes=stats
+        )
+        assert sorted(map(tuple, q.collect())) == want
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # bad_keys keeps its hint; with thresholds at -1 any broadcast
+        # in the plan can only come from an explicit hint — assert the
+        # only broadcast join is the bad-key LeftAnti exclusion (the
+        # adaptive plan string prints each join twice: final + initial)
+        bcast_lines = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+        assert bcast_lines and all("LeftAnti" in l for l in bcast_lines)
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

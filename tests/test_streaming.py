@@ -339,3 +339,76 @@ def test_streaming_neardup_checkpoint_reset_accretes(spark, tmp_path):
     assert read_band_index(spark, idx).select("doc_id").distinct().count() == 3
     got = {(r.new_id, r.match_id, r.origin) for r in spark.read.parquet(out).collect()}
     assert (10, 1, "new_old") in got and (10, 2, "new_old") in got
+
+
+def test_manifest_join_unforced_broadcast(spark, small_files, tmp_path):
+    """Scale property: the per-epoch verification join carries NO forced
+    broadcast hint on the corpus-sized manifest — with broadcast
+    disabled (the stand-in for 'manifest outgrew broadcast capacity')
+    it degrades to a shuffle join, completes, and the full streaming
+    check still produces the right violations."""
+    from opengauss_tools_datachecker_spark.streaming.incremental import (
+        incremental_sha256_check,
+        manifest_violations,
+    )
+
+    manifest = fx.manifest(small_files)
+    corrupted, expected = fx.flip_bytes(small_files, 0.01)
+    exp_keys = {"|".join([r.repo, r.path, r.commit]) for r in expected.collect()}
+    batch = corrupted.select(
+        "repo", "path", "commit", F.sha2("content", 256).alias("observed")
+    )
+    conf = spark.conf
+    old_static = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        v = manifest_violations(batch, manifest)
+        assert {r["key"] for r in v.collect()} == exp_keys
+        plan = v._jdf.queryExecution().executedPlan().toString()
+        # no hint anywhere in this join -> zero broadcast exchanges when
+        # thresholds are off (an explicit hint would still force one)
+        assert "BroadcastExchange" not in plan
+        # and the real streaming path end-to-end under the same config
+        inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+        corrupted.write.parquet(inp)
+        q = incremental_sha256_check(spark, inp, manifest, out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+        assert {r["key"] for r in spark.read.parquet(out).collect()} == exp_keys
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_streaming_neardup_missing_stats_probes_real_index(spark, tmp_path):
+    """An index whose stats tree is lost/corrupt must NOT make the next
+    epoch silently probe an EMPTY index (missed matches reported clean):
+    the bands read succeeding while the stats read fails now passes
+    stats=None, so the probe recounts occupancy from the index itself
+    and wave-1 matches are still found."""
+    import shutil
+
+    from opengauss_tools_datachecker_spark.streaming.incremental import (
+        streaming_neardup_index,
+    )
+
+    base = "a steady sentence giving minhash plenty of shingles to hold onto "
+    inp, idx = str(tmp_path / "in"), str(tmp_path / "idx")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    _neardup_docs(spark, [1, 2], [base + "a", base + "b"]).write.parquet(inp)
+    q = streaming_neardup_index(spark, inp, idx, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    shutil.rmtree(f"{idx}/stats")  # bands survive, stats tree lost
+
+    _neardup_docs(spark, [10], [base + "a"]).write.mode("append").parquet(inp)
+    q = streaming_neardup_index(spark, inp, idx, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.new_id, r.match_id, r.origin) for r in spark.read.parquet(out).collect()}
+    # the old both-reads-in-one-try fallback reported doc 10 CLEAN here
+    assert (10, 1, "new_old") in got and (10, 2, "new_old") in got
