@@ -13,6 +13,8 @@ Example:
     spark-submit dedup_index.py index --docs /data/day2 --index /idx --batch-id day2
     spark-submit dedup_index.py probe --docs /data/day3 --index /idx --out /idx_hits
     spark-submit dedup_index.py compact --index /idx          # offline maintenance
+    spark-submit dedup_index.py reindex --docs /data/day1v2 --index /idx --batch-id day1
+    spark-submit dedup_index.py delete --index /idx --batch-id day2
 """
 
 from __future__ import annotations
@@ -48,6 +50,14 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--max-bucket-size", type=int, default=1000)
     pr.add_argument("--out", help="write (new_id, match_id, origin) parquet here")
 
+    rx = sub.add_parser(
+        "reindex",
+        help="re-ingest a CHANGED batch: stale rows removed/tombstoned, "
+        "new content written (under a generation id once folded)",
+    )
+    common(rx)
+    rx.add_argument("--batch-id", required=True)
+
     cp = sub.add_parser(
         "compact",
         help="fold all batch partitions into one base partition (offline)",
@@ -56,6 +66,15 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--compact-id", default="compacted")
     cp.add_argument("--n-partitions", type=int, default=None)
     cp.add_argument("--master", default=None)
+
+    dl = sub.add_parser(
+        "delete",
+        help="remove one batch's rows (partition delete pre-compaction, "
+        "tombstone after)",
+    )
+    dl.add_argument("--index", required=True, help="band index root dir")
+    dl.add_argument("--batch-id", required=True)
+    dl.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
     from opengauss_tools_datachecker_spark.operators import dedup
@@ -72,6 +91,15 @@ def main(argv: list[str] | None = None) -> int:
                 f"compacted {res['n_batches']} batches "
                 f"({res['n_rows']} band rows) -> batch_id={res['compact_id']}"
             )
+            return 0
+        if args.cmd == "delete":
+            res = dedup.delete_batch(spark, args.index, args.batch_id)
+            how = (
+                "tombstoned (folded rows drop at next compaction)"
+                if res["tombstoned"]
+                else "live partition removed"
+            )
+            print(f"deleted batch {args.batch_id}: {how}")
             return 0
         docs = spark.read.parquet(args.docs)
         n_hashes, band_size = args.n_hashes, args.band_size
@@ -91,6 +119,14 @@ def main(argv: list[str] | None = None) -> int:
         sigs = dedup.minhash_signatures(
             docs, args.id_col, args.text_col, n_hashes=n_hashes
         )
+        if args.cmd == "reindex":
+            bands = dedup.band_rows(sigs, args.id_col, n_hashes, band_size)
+            effective = dedup.reindex_batch(
+                bands, args.index, args.batch_id,
+                n_hashes=n_hashes, band_size=band_size,
+            )
+            print(f"reindexed batch {args.batch_id} as {effective} -> {args.index}")
+            return 0
         if args.cmd == "index":
             bands = dedup.band_rows(sigs, args.id_col, n_hashes, band_size)
             wrote = dedup.index_batch(

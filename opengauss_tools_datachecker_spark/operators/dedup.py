@@ -258,7 +258,13 @@ def index_batch(
     are already in the compacted base (band rows are deterministic in
     the doc content, and only a COMMITTED partition gets folded), so
     re-writing the per-batch partition would duplicate them — the call
-    is a NO-OP returning False instead.
+    is a NO-OP returning False instead. That no-op is gated by the
+    manifest's per-batch content signature: a batch whose CONTENT
+    changed since it was folded (a revalidated bucket re-ingested under
+    the same id) raises loudly with the remedy
+    (:func:`reindex_batch`) instead of silently discarding the new
+    rows. A batch deleted via :func:`delete_batch` likewise raises —
+    its id is tombstoned, never silently resurrected.
     """
     if not _SAFE_BATCH_ID.fullmatch(batch_id) or batch_id in (".", ".."):
         raise ValueError(
@@ -280,10 +286,33 @@ def index_batch(
                 "banding never matches any key — rebuild or fix the flags"
             )
     # AFTER the parameter validation (a misconfigured retry must still
-    # raise loudly, not be masked by the no-op): an already-folded
+    # raise loudly, not be masked by the no-op): a deleted batch must
+    # not be resurrected under its old id, and an already-folded
     # batch's rows live in the compacted base — rewriting its partition
     # would duplicate them
-    if batch_id in compacted_batch_ids(spark, index_path):
+    if batch_id in read_tombstones(spark, index_path):
+        raise ValueError(
+            f"batch {batch_id!r} was deleted from index {index_path!r} "
+            "(tombstoned); re-ingest its current content via "
+            "reindex_batch, which writes under a fresh generation id"
+        )
+    folded = read_index_manifest(spark, index_path)
+    if batch_id in folded:
+        recorded = folded[batch_id]
+        if recorded is not None and recorded != _batch_signature(bands):
+            # the manifest records each folded batch's content signature
+            # exactly so a CHANGED batch re-ingested under a folded id
+            # fails loudly instead of being silently dropped while the
+            # index keeps serving its stale rows
+            raise ValueError(
+                f"batch {batch_id!r} was already folded into the "
+                f"compacted base of {index_path!r} with DIFFERENT "
+                "content (manifest signature mismatch) — an identical "
+                "crashed-batch replay would no-op, but this batch's "
+                "rows changed; re-ingest it via reindex_batch (which "
+                "tombstones the stale folded rows and writes under a "
+                "fresh generation id)"
+            )
         return False
     # a caller that already persisted the band frame (the streaming
     # path shares ONE frame between probe and index) owns its lifecycle;
@@ -341,10 +370,219 @@ def compacted_batch_ids(spark, index_path: str) -> set[str]:
     never compacted — detected with one filesystem call, no read
     attempt, so the per-micro-batch :func:`index_batch` check costs
     nothing on the common never-compacted index."""
+    return set(read_index_manifest(spark, index_path))
+
+
+def read_index_manifest(spark, index_path: str) -> dict:
+    """The compaction manifest as {batch_id: (n_rows, sig) | None}.
+
+    ``sig`` is the batch's order-independent content signature — the
+    decimal-sum combiner of ``sources.snapshots.bucket_signatures``
+    applied to the batch's (id, band_key) rows (see
+    :func:`_batch_signature`) — recorded at fold time so a folded
+    batch_id re-ingested with CHANGED content can be detected and
+    rejected instead of silently dropped. ``None`` marks an entry from
+    a legacy manifest written before signatures existed (batch_id-only
+    schema): those keep the original identical-replay no-op contract,
+    with no mismatch detection possible. Manifest-sized collect
+    (one row per folded batch)."""
     if not _manifest_exists(spark, index_path):
+        return {}
+    df = spark.read.parquet(f"{index_path}/manifest")
+    has_sig = "sig" in df.columns and "n_rows" in df.columns
+    return {
+        r["batch_id"]: (
+            (int(r["n_rows"]), int(r["sig"]))
+            if has_sig and r["sig"] is not None
+            else None
+        )
+        for r in df.collect()
+    }
+
+
+def _batch_signature(bands: DataFrame) -> tuple[int, int]:
+    """(n_rows, sig) for one batch's band rows: the order- and
+    partitioning-independent decimal-sum of xxhash64(id, band_key)
+    (the multiset-sensitive combiner of sources/snapshots.py) — two
+    frames holding the same (id, band_key) multiset always agree, any
+    changed/added/dropped row changes the sum. One metadata-sized agg."""
+    idc = [
+        c for c in bands.columns if c not in ("band_key", "src_batch", "batch_id")
+    ][0]
+    row = bands.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(
+                F.xxhash64(F.col(idc), F.col("band_key")).cast("decimal(28,0)")
+            ),
+            F.lit(0).cast("decimal(28,0)"),
+        ).alias("sig"),
+    ).first()
+    return int(row["n_rows"]), int(row["sig"])
+
+
+def read_tombstones(spark, index_path: str) -> set[str]:
+    """Batch ids deleted by :func:`delete_batch` AFTER they were folded
+    into the compacted base: their rows still sit physically inside the
+    compacted partition (tagged ``src_batch``) until the next
+    :func:`compact_index` drops them, so every reader filters them out.
+    Empty-set fast path is one filesystem call (like the manifest)."""
+    hpath, fs = _index_fs(spark, index_path)
+    if not fs.exists(hpath(f"{index_path}/tombstones")):
         return set()
-    rows = spark.read.parquet(f"{index_path}/manifest").collect()
-    return {r["batch_id"] for r in rows}
+    return {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{index_path}/tombstones").collect()
+    }
+
+
+def _drop_tombstoned(df: DataFrame, tombstones: set[str]) -> DataFrame:
+    """Filter out rows originating from tombstoned batches. NULL-safe:
+    legacy pre-tag rows (src_batch NULL under a schema merge) are kept —
+    they predate tombstones by construction. The tombstone set is
+    metadata-sized (deletions since the last compaction), so an isin
+    literal list folds into the scan filter."""
+    if not tombstones or "src_batch" not in df.columns:
+        return df
+    return df.filter(
+        F.col("src_batch").isNull()
+        | ~F.col("src_batch").isin(sorted(tombstones))
+    )
+
+
+def _live_batch_ids(spark, index_path: str) -> set[str]:
+    """Batch ids with a live per-batch bands partition directory."""
+    hpath, fs = _index_fs(spark, index_path)
+    bands_dir = hpath(f"{index_path}/bands")
+    if not fs.exists(bands_dir):
+        return set()
+    return {
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(bands_dir)
+        if st.isDirectory() and st.getPath().getName().startswith("batch_id=")
+    }
+
+
+def delete_batch(spark, index_path: str, batch_id: str) -> dict:
+    """Remove one batch's rows from the band index — the delete half of
+    the update path the registry's dirty-bucket planning feeds
+    (``sources.snapshots.changed_buckets`` names the buckets whose
+    documents changed; this removes their stale band rows so they stop
+    matching).
+
+    Pre-compaction (live per-batch partition): the partition
+    directories are deleted outright — bands FIRST, then stats, so the
+    crash window between the two leaves an over-counting orphan stats
+    increment (safe, conservative — same order argument as
+    :func:`index_batch`'s write order) that the next
+    :func:`compact_index` cleans up.
+
+    Post-compaction (id in the manifest): the rows live inside the
+    compacted base partition, so a directory delete is impossible —
+    the id is TOMBSTONED instead: readers
+    (:func:`read_band_index`/:func:`read_band_stats`) filter
+    tombstoned ``src_batch`` rows from this call on, and the next
+    :func:`compact_index` physically drops them and clears the
+    tombstone. Idempotent: re-deleting an already-tombstoned id is a
+    no-op. Run offline like compaction (plain-parquet layout, no
+    snapshot protocol).
+
+    Returns {"batch_id", "live_partition_removed", "tombstoned"};
+    raises if the id is in neither the live layout nor the manifest.
+    """
+    if not _SAFE_BATCH_ID.fullmatch(batch_id) or batch_id in (".", ".."):
+        raise ValueError(f"batch_id {batch_id!r} is not a safe partition name")
+    hpath, fs = _index_fs(spark, index_path)
+    removed_live = False
+    bdir = hpath(f"{index_path}/bands/batch_id={batch_id}")
+    sdir = hpath(f"{index_path}/stats/batch_id={batch_id}")
+    if fs.exists(bdir):
+        fs.delete(bdir, True)
+        removed_live = True
+    if fs.exists(sdir):
+        fs.delete(sdir, True)
+    folded = batch_id in read_index_manifest(spark, index_path)
+    newly_tombstoned = False
+    if folded and batch_id not in read_tombstones(spark, index_path):
+        spark.createDataFrame([(batch_id,)], "batch_id string").coalesce(
+            1
+        ).write.mode("append").parquet(f"{index_path}/tombstones")
+        newly_tombstoned = True
+    if not removed_live and not folded:
+        raise ValueError(
+            f"batch {batch_id!r} not found in index {index_path!r}: no "
+            "live partition and no manifest entry — nothing to delete"
+        )
+    return {
+        "batch_id": batch_id,
+        "live_partition_removed": removed_live,
+        "tombstoned": folded,
+        "newly_tombstoned": newly_tombstoned,
+    }
+
+
+_GEN_SUFFIX = re.compile(r"\.g(\d+)$")
+
+
+def reindex_batch(
+    bands: DataFrame,
+    index_path: str,
+    batch_id: str,
+    n_hashes: int | None = None,
+    band_size: int | None = None,
+) -> str:
+    """Re-ingest a batch whose documents CHANGED since they were
+    indexed — the update half of the registry-driven incremental story
+    (dirty buckets → recompute → reindex). Returns the EFFECTIVE batch
+    id the rows were written under.
+
+    Pre-compaction the per-batch partition overwrite already IS the
+    update path, so the call reduces to :func:`index_batch` under the
+    same id. Once the id (or a prior generation of it) was folded into
+    the compacted base, its stale rows can't be overwritten in place:
+    every existing generation is deleted (:func:`delete_batch` —
+    directory removal for live partitions, tombstones for folded rows)
+    and the new content is written under the next GENERATION id
+    (``<batch_id>.g<n>``). Generation ids keep the tombstone exact —
+    the stale rows' ``src_batch`` tag never collides with the new
+    rows' — and survive any number of compaction/reindex cycles.
+    Probe-side replay exclusion (``exclude_batch_id``) should use the
+    returned effective id. Run offline like compaction.
+    """
+    if not _SAFE_BATCH_ID.fullmatch(batch_id) or batch_id in (".", ".."):
+        raise ValueError(f"batch_id {batch_id!r} is not a safe partition name")
+    if _GEN_SUFFIX.search(batch_id):
+        raise ValueError(
+            f"batch_id {batch_id!r} carries a generation suffix; pass the "
+            "base id — reindex_batch assigns generations itself"
+        )
+    spark = bands.sparkSession
+    manifest = read_index_manifest(spark, index_path)
+    live = _live_batch_ids(spark, index_path)
+    known = set(manifest) | live
+
+    def _is_gen(b: str) -> bool:
+        if b == batch_id:
+            return True
+        m = _GEN_SUFFIX.search(b)
+        return m is not None and b[: m.start()] == batch_id
+
+    gens = sorted(b for b in known if _is_gen(b))
+    if not any(g in manifest for g in gens):
+        # nothing folded: in-place overwrite replaces live rows exactly
+        index_batch(bands, index_path, batch_id, n_hashes, band_size)
+        return batch_id
+    tombs = read_tombstones(spark, index_path)
+    for g in gens:
+        if g in live or (g in manifest and g not in tombs):
+            delete_batch(spark, index_path, g)
+    next_n = 1 + max(
+        (int(m.group(1)) for g in gens if (m := _GEN_SUFFIX.search(g))),
+        default=0,
+    )
+    effective = f"{batch_id}.g{next_n}"
+    index_batch(bands, index_path, effective, n_hashes, band_size)
+    return effective
 
 
 def compact_index(
@@ -485,7 +723,11 @@ def compact_index(
             if sid not in accounted:
                 print(f"compact_index: dropping orphan stats partition {sid!r}")
                 fs.delete(st.getPath(), True)
-    if len(batch_ids) <= 1:
+    # a single (or no) committed partition has nothing to fold — UNLESS
+    # tombstones are pending, in which case a 1-partition "fold" is how
+    # deleted rows get physically dropped and the markers cleared
+    tombstones = read_tombstones(spark, index_path)
+    if not batch_ids or (len(batch_ids) == 1 and not tombstones):
         return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": 0}
 
     raw = (
@@ -504,11 +746,13 @@ def compact_index(
     n_parts = n_partitions or max(
         1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
     )
-    staged = (
-        raw.select(*keep_cols, src.alias("src_batch"))
-        .repartition(n_parts, "band_key")
-        .sortWithinPartitions("band_key")
-    )
+    # tombstoned batches (deleted post-fold) are physically dropped
+    # here — the fold excludes their rows, and the tombstones are
+    # cleared after the swap completes (a lingering tombstone after a
+    # crash is harmless: its src_batch values no longer exist)
+    staged = _drop_tombstoned(
+        raw.select(*keep_cols, src.alias("src_batch")), tombstones
+    ).repartition(n_parts, "band_key").sortWithinPartitions("band_key")
     staged.write.mode("overwrite").parquet(
         f"{index_path}/.compact_staging/bands/batch_id={compact_id}"
     )
@@ -529,8 +773,33 @@ def compact_index(
     folded = sorted(
         (compacted_batch_ids(spark, index_path) | set(batch_ids)) - {compact_id}
     )
+    # per-batch content signatures (the _batch_signature combiner,
+    # grouped) recorded alongside each folded id: index_batch compares
+    # a re-ingested folded batch against its signature and RAISES on
+    # mismatch — without this a changed batch would be silently dropped
+    idc = [c for c in staged_bands.columns if c not in ("band_key", "src_batch")][0]
+    sigs = {
+        r["src_batch"]: (int(r["n_rows"]), int(r["sig"]))
+        for r in staged_bands.groupBy("src_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.xxhash64(F.col(idc), F.col("band_key")).cast("decimal(28,0)")
+            ).alias("sig"),
+        )
+        .collect()
+    }
+    from decimal import Decimal
+
+    # folded ids absent from the staged rows (zero-row batches, or
+    # tombstoned ids whose rows were just dropped) keep a (0, 0) entry:
+    # a later NON-empty re-ingest under that id then mismatches loudly
+    entries = []
+    for b in folded:
+        n, s = sigs.get(b, (0, 0))
+        entries.append((b, n, Decimal(s)))
     spark.createDataFrame(
-        [(b,) for b in folded], "batch_id string"
+        entries, "batch_id string, n_rows long, sig decimal(28,0)"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{index_path}/.compact_staging/manifest"
     )
@@ -544,6 +813,12 @@ def compact_index(
             raise IOError(f"compaction: failed to swap staged {d} in")
     fs.delete(oldroot, True)
     fs.delete(staging, True)
+    if tombstones:
+        # the tombstoned rows are physically gone from the swapped-in
+        # bands/stats — clear the markers LAST; a crash leaving them
+        # behind is harmless (they filter src_batch values that no
+        # longer exist) and the next compaction clears them again
+        fs.delete(hpath(f"{index_path}/tombstones"), True)
     return {"compact_id": compact_id, "n_batches": len(batch_ids), "n_rows": n_rows}
 
 
@@ -585,10 +860,15 @@ def read_band_index(
     every row, so the schema is uniform and the read needs NO parquet
     footer-merge; only an index holding pre-tag batch partitions next
     to a compacted one is mixed, and the manifest's existence flags
-    exactly that case (one filesystem call, not a footer scan)."""
+    exactly that case (one filesystem call, not a footer scan).
+
+    Rows of batches deleted post-compaction (:func:`delete_batch`
+    tombstones) are filtered out until the next compaction drops them
+    physically — a deleted document must stop matching immediately."""
     df = _read_index_dir(spark, index_path, "bands")
     if exclude_batch_id is not None:
         df = _exclude_batch(df, exclude_batch_id)
+    df = _drop_tombstoned(df, read_tombstones(spark, index_path))
     return df.drop("batch_id", "src_batch")
 
 
@@ -600,10 +880,13 @@ def read_band_stats(
     ``exclude_batch_id`` mirrors :func:`read_band_index`'s replay hook
     (a retried batch's stale increment must not inflate the cap);
     compacted stats keep per-``src_batch`` granularity so the hook
-    stays exact (schema-merge economics as in :func:`read_band_index`)."""
+    stays exact (schema-merge economics as in :func:`read_band_index`),
+    and tombstoned batches' increments are dropped in lockstep with
+    their band rows."""
     df = _read_index_dir(spark, index_path, "stats")
     if exclude_batch_id is not None:
         df = _exclude_batch(df, exclude_batch_id)
+    df = _drop_tombstoned(df, read_tombstones(spark, index_path))
     return df.groupBy("band_key").agg(F.sum("bsz").alias("bsz"))
 
 

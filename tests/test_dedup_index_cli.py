@@ -397,3 +397,204 @@ def test_compact_index_refuses_markerless_index(spark, batches, tmp_path):
     with pytest.raises(ValueError, match="_SUCCESS"):
         dedup.compact_index(spark, idx)
     assert dedup.read_band_index(spark, idx).count() == before  # untouched
+
+
+def _stats_match_recount(spark, idx) -> bool:
+    stats = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_stats(spark, str(idx)).collect()
+    }
+    recount = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_index(spark, str(idx))
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .collect()
+    }
+    return stats == recount
+
+
+def _bands_of(spark, batches, day):
+    docs = spark.read.parquet(str(batches / day))
+    return dedup.band_rows(
+        dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    )
+
+
+def test_changed_batch_reingest_after_compaction_raises(spark, batches, tmp_path):
+    """The compaction manifest records each folded batch's content
+    signature: an identical crashed-batch replay stays a no-op, but a
+    batch whose CONTENT changed re-ingested under the folded id fails
+    LOUDLY naming the remedy — never silently dropped while the index
+    serves its stale rows."""
+    idx = str(tmp_path / "idx")
+    for day in ("day1", "day2"):
+        dedup.index_batch(_bands_of(spark, batches, day), idx, day)
+    dedup.compact_index(spark, idx)
+
+    # identical replay: still the documented no-op
+    assert dedup.index_batch(_bands_of(spark, batches, "day1"), idx, "day1") is False
+
+    # changed content under the folded id: loud error, index untouched
+    changed = spark.createDataFrame(
+        [(0, BASE + " now modified"), (1, BASE), (2, OTHER)],
+        "doc_id long, text string",
+    )
+    cbands = dedup.band_rows(
+        dedup.minhash_signatures(changed, "doc_id", "text"), "doc_id"
+    )
+    n_before = dedup.read_band_index(spark, idx).count()
+    with pytest.raises(ValueError, match="reindex_batch"):
+        dedup.index_batch(cbands, idx, "day1")
+    assert dedup.read_band_index(spark, idx).count() == n_before
+    assert _stats_match_recount(spark, idx)
+
+
+def test_delete_batch_live_partition(spark, batches, tmp_path):
+    """Pre-compaction delete removes the batch's partition directories;
+    its docs stop matching, stats stay exact, and the id is reusable."""
+    idx = str(tmp_path / "idx")
+    for day in ("day1", "day2"):
+        dedup.index_batch(_bands_of(spark, batches, day), idx, day)
+
+    res = dedup.delete_batch(spark, idx, "day2")
+    assert res["live_partition_removed"] and not res["tombstoned"]
+    ids = {r.doc_id for r in dedup.read_band_index(spark, idx).collect()}
+    assert ids == {0, 1, 2}  # day2 docs (10, 11) gone
+    assert _stats_match_recount(spark, idx)
+
+    # a probe that would have matched day2's doc 10 finds only day1's 2
+    sigs = dedup.minhash_signatures(
+        spark.createDataFrame([(500, OTHER)], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    got = {
+        (r.new_id, r.match_id)
+        for r in dedup.probe_band_index(
+            sigs, dedup.read_band_index(spark, idx), "doc_id",
+            index_band_sizes=dedup.read_band_stats(spark, idx),
+        ).collect()
+    }
+    assert got == {(500, 2)}
+    # the id is free again (no tombstone pre-compaction)
+    assert dedup.index_batch(_bands_of(spark, batches, "day2"), idx, "day2") is True
+    assert _stats_match_recount(spark, idx)
+    with pytest.raises(ValueError, match="nothing to delete"):
+        dedup.delete_batch(spark, idx, "never_indexed")
+
+
+def test_delete_batch_tombstone_after_compaction(spark, batches, tmp_path):
+    """Post-compaction delete tombstones the folded rows: readers drop
+    them immediately, the next compaction drops them physically and
+    clears the markers, and the id can never be silently resurrected."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    for day in ("day1", "day2"):
+        dedup.index_batch(_bands_of(spark, batches, day), idx, day)
+    dedup.compact_index(spark, idx)
+
+    res = dedup.delete_batch(spark, idx, "day1")
+    assert res["tombstoned"] and not res["live_partition_removed"]
+    ids = {r.doc_id for r in dedup.read_band_index(spark, idx).collect()}
+    assert ids == {10, 11}  # day1 docs gone from reads
+    assert _stats_match_recount(spark, idx)
+    # idempotent re-delete
+    assert dedup.delete_batch(spark, idx, "day1")["newly_tombstoned"] is False
+
+    # the deleted id cannot be resurrected by a plain index_batch
+    with pytest.raises(ValueError, match="deleted"):
+        dedup.index_batch(_bands_of(spark, batches, "day1"), idx, "day1")
+
+    # next compaction physically drops the rows and clears the markers
+    dedup.index_batch(_bands_of(spark, batches, "day3"), idx, "day3")
+    dedup.compact_index(spark, idx)
+    assert not os.path.exists(f"{idx}/tombstones")
+    ids = {r.doc_id for r in dedup.read_band_index(spark, idx).collect()}
+    assert ids == {10, 11, 100, 101, 102}
+    assert _stats_match_recount(spark, idx)
+
+
+def test_reindex_batch_e2e(spark, batches, tmp_path):
+    """The registry-driven update path end-to-end: ingest day1+day2 ->
+    compact -> day1's documents change -> reindex -> probes match the
+    NEW content and never the stale folded rows, across a further
+    compaction."""
+    idx = str(tmp_path / "idx")
+    for day in ("day1", "day2"):
+        dedup.index_batch(_bands_of(spark, batches, day), idx, day)
+    dedup.compact_index(spark, idx)
+
+    # day1 revalidated: docs 0/1 rewritten to NEW near-dup content
+    newtext = " ".join(f"rework{i} fresh{i * 3 % 7}" for i in range(25))
+    day1v2 = spark.createDataFrame(
+        [(0, newtext), (1, newtext.replace("rework12", "EDITED")), (2, OTHER)],
+        "doc_id long, text string",
+    )
+    v2bands = dedup.band_rows(
+        dedup.minhash_signatures(day1v2, "doc_id", "text"), "doc_id"
+    )
+    effective = dedup.reindex_batch(v2bands, idx, "day1")
+    assert effective == "day1.g1"  # folded -> fresh generation id
+    assert _stats_match_recount(spark, idx)
+
+    def probe(text):
+        sigs = dedup.minhash_signatures(
+            spark.createDataFrame([(900, text)], "doc_id long, text string"),
+            "doc_id", "text",
+        )
+        return {
+            r.match_id
+            for r in dedup.probe_band_index(
+                sigs, dedup.read_band_index(spark, idx), "doc_id",
+                index_band_sizes=dedup.read_band_stats(spark, idx),
+            ).collect()
+        }
+
+    assert probe(newtext) == {0, 1}      # new content matches
+    assert probe(BASE) == set()           # stale day1 rows never match
+    assert 10 in probe(OTHER)             # day2 untouched
+
+    # the update survives another compaction (stale rows now physically
+    # gone) and a SECOND reindex advances the generation
+    dedup.compact_index(spark, idx)
+    assert probe(newtext) == {0, 1} and probe(BASE) == set()
+    assert _stats_match_recount(spark, idx)
+    assert dedup.reindex_batch(v2bands, idx, "day1") == "day1.g2"
+    assert probe(newtext) == {0, 1} and probe(BASE) == set()
+    assert _stats_match_recount(spark, idx)
+
+    # pre-compaction reindex is the plain in-place overwrite
+    idx2 = str(tmp_path / "idx2")
+    dedup.index_batch(_bands_of(spark, batches, "day1"), idx2, "day1")
+    assert dedup.reindex_batch(v2bands, idx2, "day1") == "day1"
+    assert _stats_match_recount(spark, idx2)
+    with pytest.raises(ValueError, match="generation suffix"):
+        dedup.reindex_batch(v2bands, idx2, "day1.g1")
+
+
+def test_reindex_delete_cli_e2e(spark, batches, tmp_path):
+    """CLI faces of the update path: reindex a changed folded batch,
+    then delete one."""
+    idx = batches / "index_cli_update"
+    for day in ("day1", "day2"):
+        r = _run("index", "--docs", batches / day, "--index", idx, "--batch-id", day)
+        assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("compact", "--index", idx)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    day1v2 = str(tmp_path / "day1v2")
+    spark.createDataFrame(
+        [(0, "totally new content after revalidation"), (1, BASE), (2, OTHER)],
+        "doc_id long, text string",
+    ).write.parquet(day1v2)
+    r = _run("reindex", "--docs", day1v2, "--index", idx, "--batch-id", "day1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "day1.g1" in r.stdout
+
+    r = _run("delete", "--index", idx, "--batch-id", "day2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tombstoned" in r.stdout
+    ids = {r2.doc_id for r2 in dedup.read_band_index(spark, str(idx)).collect()}
+    assert ids == {0, 1, 2}
+    assert _stats_match_recount(spark, idx)
