@@ -232,6 +232,91 @@ def changed_buckets(
     )
 
 
+def expire_snapshots(
+    spark: SparkSession,
+    registry_path: str,
+    keep_last: int | None = None,
+    older_than: str | None = None,
+) -> dict:
+    """Prune old snapshots from the registry — the Iceberg
+    ``expire_snapshots`` analog, and the registry's answer to the
+    unbounded-accumulation problem :func:`record_snapshot` otherwise
+    has (one partition per snapshot, forever). Covers BOTH artifact
+    trees: each expired snapshot's signature partition AND its sibling
+    ``<registry>.hist`` histogram cube.
+
+    Exactly one retention policy must be given (ambiguity is refused,
+    the :func:`~..operators.dedup.compact_index` discipline):
+
+    - ``keep_last=N`` (N ≥ 1): keep the N newest snapshots by
+      ``recorded_at`` (same-millisecond ties broken by id, the
+      lexicographically larger counting as newer — right for
+      date-stamped ids, and deterministic for all);
+    - ``older_than=<id>``: expire every snapshot recorded strictly
+      before that snapshot (which itself survives).
+
+    Deletion order per snapshot is histogram cube FIRST, then the
+    signature partition: a crash between the two leaves a snapshot
+    whose drift baseline is merely missing (readers return None and
+    fall back) rather than an orphan cube outliving its signatures —
+    and each run also sweeps cube partitions whose signature partition
+    is already gone (the crash-window leftovers of the reverse order,
+    or of a prior interrupted run). Each directory delete is a single
+    filesystem call; a rerun after any crash converges. Run offline
+    (no concurrent record_snapshot of an expiring id).
+
+    Returns {"expired": [ids], "kept": [ids], "orphan_cubes": [ids]}.
+    """
+    if (keep_last is None) == (older_than is None):
+        raise ValueError("exactly one of keep_last / older_than is required")
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (refusing to empty the registry)")
+    if older_than is not None:
+        _check_snapshot_id(older_than)
+    summary = {
+        r["snapshot_id"]: int(r["recorded_at"])
+        for r in snapshots(spark, registry_path)
+        .select("snapshot_id", "recorded_at")
+        .collect()
+    }
+    # newest first; recorded_at ties broken by id so the cut is stable
+    ordered = sorted(summary, key=lambda s: (summary[s], s), reverse=True)
+    if keep_last is not None:
+        kept, expired = ordered[:keep_last], ordered[keep_last:]
+    else:
+        if older_than not in summary:
+            raise ValueError(
+                f"snapshot {older_than!r} has no rows in the registry"
+            )
+        # everything strictly older in the same (recorded_at, id) order
+        # the keep_last policy uses, so the two policies cut identically
+        idx = ordered.index(older_than)
+        kept, expired = ordered[: idx + 1], ordered[idx + 1 :]
+
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(registry_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    hist_root = hpath(f"{registry_path}.hist")
+    # sweep orphan cubes (signature partition already gone) — the only
+    # leftover any crash window of this function can produce
+    orphans = []
+    if fs.exists(hist_root):
+        for st in fs.listStatus(hist_root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("snapshot_id=")):
+                continue
+            sid = name.split("=", 1)[1]
+            if sid not in summary:
+                orphans.append(sid)
+                fs.delete(st.getPath(), True)
+    for sid in expired:
+        _check_snapshot_id(sid)  # a hostile directory name must not traverse
+        cube = hpath(f"{registry_path}.hist/snapshot_id={sid}")
+        if fs.exists(cube):
+            fs.delete(cube, True)
+        fs.delete(hpath(f"{registry_path}/snapshot_id={sid}"), True)
+    return {"expired": expired, "kept": kept, "orphan_cubes": sorted(orphans)}
+
+
 def record_histograms(
     cube: DataFrame, registry_path: str, snapshot_id: str, n_buckets: int
 ) -> None:

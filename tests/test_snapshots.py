@@ -221,3 +221,120 @@ def test_histogram_registry_roundtrip(spark, small_files, tmp_path):
     record_snapshot(small_files, fx_reg, "d1", 8)
     record_histograms(cube, fx_reg, "d1", n_buckets=8)
     assert snapshots(spark, fx_reg).count() == 1
+
+
+def test_expire_snapshots_keep_last(spark, small_files, tmp_path):
+    """Retention e2e: expired snapshots become unreadable (signatures
+    AND histogram cubes), the newest N stay replayable, and
+    changed_buckets on a surviving pair is unaffected."""
+    import os
+    import time
+
+    from opengauss_tools_datachecker_spark.operators.drift import histogram_cube
+    from opengauss_tools_datachecker_spark.sources.snapshots import (
+        expire_snapshots,
+        record_histograms,
+        recorded_histograms,
+        recorded_signatures,
+    )
+
+    reg = str(tmp_path / "reg")
+    cube = histogram_cube(small_files, "lang", F.length("content"))
+    for sid in ("s1", "s2", "s3", "s4"):
+        record_snapshot(small_files, reg, sid, n_buckets=16)
+        record_histograms(cube, reg, sid, n_buckets=16)
+        time.sleep(0.002)  # distinct recorded_at milliseconds
+
+    before = changed_buckets(spark, reg, "s3", "s4").count()
+    n_sig_rows = recorded_signatures(spark, reg, "s3").count()
+    res = expire_snapshots(spark, reg, keep_last=2)
+    assert res["expired"] == ["s2", "s1"] and res["kept"] == ["s4", "s3"]
+
+    # expired: both artifact trees gone
+    for sid in ("s1", "s2"):
+        assert not os.path.exists(f"{reg}/snapshot_id={sid}")
+        assert not os.path.exists(f"{reg}.hist/snapshot_id={sid}")
+        assert recorded_histograms(spark, reg, sid) is None
+    # survivors: replayable, planning unaffected
+    assert recorded_signatures(spark, reg, "s3").count() == n_sig_rows > 0
+    assert recorded_histograms(spark, reg, "s4", expected_n_buckets=16) is not None
+    assert changed_buckets(spark, reg, "s3", "s4").count() == before
+
+    # idempotent rerun
+    res = expire_snapshots(spark, reg, keep_last=2)
+    assert res["expired"] == [] and res["kept"] == ["s4", "s3"]
+
+
+def test_expire_snapshots_older_than_and_guards(spark, small_files, tmp_path):
+    import time
+
+    from opengauss_tools_datachecker_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    reg = str(tmp_path / "reg")
+    for sid in ("a1", "a2", "a3"):
+        record_snapshot(small_files, reg, sid, n_buckets=8)
+        time.sleep(0.002)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        expire_snapshots(spark, reg)
+    with pytest.raises(ValueError, match="exactly one"):
+        expire_snapshots(spark, reg, keep_last=1, older_than="a2")
+    with pytest.raises(ValueError, match=">= 1"):
+        expire_snapshots(spark, reg, keep_last=0)
+    with pytest.raises(ValueError, match="no rows"):
+        expire_snapshots(spark, reg, older_than="nope")
+
+    res = expire_snapshots(spark, reg, older_than="a2")
+    assert res["expired"] == ["a1"] and res["kept"] == ["a3", "a2"]
+
+
+def test_expire_snapshots_sweeps_orphan_cubes(spark, small_files, tmp_path):
+    """A histogram cube whose signature partition is already gone (the
+    crash window of a prior interrupted expire) is swept on the next
+    run instead of outliving its snapshot."""
+    import os
+    import shutil
+    import time
+
+    from opengauss_tools_datachecker_spark.operators.drift import histogram_cube
+    from opengauss_tools_datachecker_spark.sources.snapshots import (
+        expire_snapshots,
+        record_histograms,
+    )
+
+    reg = str(tmp_path / "reg")
+    cube = histogram_cube(small_files, "lang", F.length("content"))
+    for sid in ("b1", "b2"):
+        record_snapshot(small_files, reg, sid, n_buckets=8)
+        record_histograms(cube, reg, sid, n_buckets=8)
+        time.sleep(0.002)
+    # simulate the reverse-order crash leftover: signatures gone, cube not
+    shutil.rmtree(f"{reg}/snapshot_id=b1")
+    res = expire_snapshots(spark, reg, keep_last=1)
+    assert res["orphan_cubes"] == ["b1"]
+    assert not os.path.exists(f"{reg}.hist/snapshot_id=b1")
+
+
+def test_registry_cli_expire_e2e(spark, small_files, tmp_path):
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    reg = str(tmp_path / "reg")
+    for sid in ("c1", "c2", "c3"):
+        record_snapshot(small_files, reg, sid, n_buckets=8)
+        time.sleep(0.002)
+    r = subprocess.run(
+        [sys.executable,
+         str(repo / "opengauss_tools_datachecker_spark" / "registry.py"),
+         "expire", "--registry", reg, "--keep-last", "2",
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, cwd=str(repo),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "expired 1 snapshot(s): c1" in r.stdout
+    assert {row["snapshot_id"] for row in snapshots(spark, reg).collect()} == {"c2", "c3"}
