@@ -36,6 +36,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: one cache slot per query: queries that persist a shared kernel frame
+#: (shingles, signatures, histogram cubes) return LAZY results, so they
+#: can't unpersist before the caller materializes — instead each
+#: invocation releases the PREVIOUS invocation's frame, bounding any
+#: repeated-call loop (the bench driver's multi-trial protocol, a
+#: long-lived gate session) to ONE live cache entry per query rather
+#: than one per call.
+_QUERY_CACHE_SLOTS: dict[str, DataFrame] = {}
+
+
+def _slot_persist(key: str, df: DataFrame) -> DataFrame:
+    prev = _QUERY_CACHE_SLOTS.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # a stopped/replaced session invalidates old handles
+    df = df.persist()
+    _QUERY_CACHE_SLOTS[key] = df
+    return df
+
+
 # --- canonicalization fragments shared by the oracle SQL ----------------
 # (DuckDB renders of canon.py: decimal(38,10) for doubles, microsecond
 # timestamps, chr(0) NULL sentinel, chr(31) separator — byte-identical
@@ -280,7 +302,7 @@ def q_histograms(spark, sf_dir):
     cube — the raw table is scanned and shuffled ONCE; the marginal
     groupBys run over the histogram-sized cube."""
     d = _t(spark, sf_dir, "documents")
-    cube = histogram_cube(d, "lang", F.col("n_chars"), by="source").persist()
+    cube = _slot_persist("q_histograms.cube", histogram_cube(d, "lang", F.col("n_chars"), by="source"))
     lang = cube.groupBy("source", "_cat").agg(F.sum("n").alias("n")).select(
         F.lit("lang").alias("dim"),
         F.col("source").alias("k1"),
@@ -321,7 +343,7 @@ def q_drift(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn(
         "bucket", F.substring("source", 4, 10).cast("int")
     )
-    cube = histogram_cube(d, "lang", F.col("n_chars"), by="bucket").persist()
+    cube = _slot_persist("q_drift.cube", histogram_cube(d, "lang", F.col("n_chars"), by="bucket"))
     lang_hist = cube_marginal(cube, "cat")
     len_hist = cube_marginal(cube, "len")
 
@@ -381,7 +403,7 @@ def q_minhash_estimate(spark, sf_dir):
     # persisted: the signature frame feeds banding AND both estimator
     # join sides — in production it is a materialized artifact, so the
     # Arrow kernel must run once, not once per consumer
-    sigs = dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8).persist()
+    sigs = _slot_persist("q_minhash_estimate.sigs", dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8))
     pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
     return dedup.minhash_estimate_pairs(sigs, pairs, "doc_id", n_hashes=8)
 
@@ -429,7 +451,7 @@ def q_shingle_verify(spark, sf_dir):
     bands), while sh-persist alone is the fastest variant.
     """
     d = _t(spark, sf_dir, "documents")
-    sh = dedup.distinct_shingle_rows(d, "doc_id", "text", shingle_n=3).persist()
+    sh = _slot_persist("q_shingle_verify.sh", dedup.distinct_shingle_rows(d, "doc_id", "text", shingle_n=3))
     cand = dedup.minhash_dedup(d, "doc_id", "text", n_hashes=8, band_size=2)
     arms = []
     for metric, fn in (
@@ -483,7 +505,13 @@ def q_probe_index(spark, sf_dir):
     new = d.filter(F.col("doc_id") % 2 == 1)
     index = dedup.band_rows(dedup.minhash_signatures(old, "doc_id", "text"), "doc_id")
     new_sigs = dedup.minhash_signatures(new, "doc_id", "text")
-    return dedup.probe_band_index(new_sigs, index, "doc_id")
+    # caller-owned band frame (the probe's documented repeated-caller
+    # contract) via the query cache slot — the default bands=None path
+    # would persist a fresh frame per invocation
+    bands = _slot_persist(
+        "q_probe_index.bands", dedup.band_rows(new_sigs, "doc_id")
+    )
+    return dedup.probe_band_index(new_sigs, index, "doc_id", bands=bands)
 
 
 def q_char_entropy(spark, sf_dir):
@@ -525,9 +553,13 @@ def q_contamination(spark, sf_dir):
     s = ctm.hash_split(d, "doc_id")
     train = s.filter(F.col("split") == "train")
     ev = s.filter(F.col("split") == "test")
-    raw_pairs = ctm.ngram_contamination(
-        train, ev, "doc_id", "text", shingle_n=3, min_overlap=2, max_shingle_df=50
-    ).persist()
+    raw_pairs = _slot_persist(
+        "q_contamination.pairs",
+        ctm.ngram_contamination(
+            train, ev, "doc_id", "text", shingle_n=3, min_overlap=2,
+            max_shingle_df=50,
+        ),
+    )
     pairs = raw_pairs.select(
         F.lit("pair").alias("kind"), "eval_id", "train_id", "n_overlap"
     )

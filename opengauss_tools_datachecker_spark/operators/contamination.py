@@ -182,19 +182,43 @@ def eval_bloom_bitmap(
     return bitmap
 
 
+def broadcast_bitmap(spark, bitmap: np.ndarray):
+    """Broadcast an eval bloom bitmap ONCE for reuse across many
+    :func:`bloom_flagged_train` calls. The function's own per-call
+    broadcast can never be released (the returned frame is lazy), so a
+    long-lived session screening many train batches should create one
+    of these, pass it as ``bitmap_bc``, and ``.destroy()`` it after the
+    last screen materializes — otherwise 128 KiB of driver+executor
+    broadcast state accrues per call."""
+    return spark.sparkContext.broadcast(bitmap.tobytes())
+
+
 def bloom_flagged_train(
     train: DataFrame,
-    bitmap: np.ndarray,
+    bitmap: np.ndarray | None,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     min_overlap: int = 2,
+    bitmap_bc=None,
 ) -> DataFrame:
     """(train_id, n_hits): train docs with at least ``min_overlap``
     distinct shingles testing bloom-positive against ``bitmap``. Pure
     map over the train corpus — the bitmap rides a Spark broadcast, no
-    shuffle anywhere in the plan."""
-    bc = train.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+    shuffle anywhere in the plan.
+
+    One-shot callers pass ``bitmap`` and accept that the per-call
+    broadcast lives until the session ends (the result is lazy, so the
+    function cannot destroy it); repeated callers pass a
+    :func:`broadcast_bitmap` handle as ``bitmap_bc`` and own its
+    lifecycle."""
+    if (bitmap is None) == (bitmap_bc is None):
+        raise ValueError("exactly one of bitmap / bitmap_bc is required")
+    bc = (
+        bitmap_bc
+        if bitmap_bc is not None
+        else train.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+    )
     id_type = train.schema[id_col].dataType.simpleString()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

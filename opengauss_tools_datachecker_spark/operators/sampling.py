@@ -23,10 +23,17 @@ from opengauss_tools_datachecker_spark.operators.contamination import _PREFIX_SP
 
 
 def rate_bound(rate: float) -> str:
-    """9-char hex threshold: prefix < bound ⇔ row sampled at ``rate``."""
+    """9-char hex threshold: prefix < bound ⇔ row sampled at ``rate``.
+
+    FLOOR of rate·2^32, the one convention across the shared hash
+    space: :func:`mixture_sample` floors its derived per-source rates
+    (Spark-side F.floor) and the contamination splits truncate their
+    cumulative bounds — floor is also the monotone choice (a nominally
+    smaller rate can never keep more rows). The DuckDB oracles import
+    this helper, so both engines move together by construction."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"sampling rate must be in [0,1], got {rate}")
-    return f"{min(int(round(rate * _PREFIX_SPACE)), _PREFIX_SPACE):09x}"
+    return f"{min(int(rate * _PREFIX_SPACE), _PREFIX_SPACE):09x}"
 
 
 def hash_prefix(id_col: str | Column, salt: str = "") -> Column:

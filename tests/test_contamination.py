@@ -187,3 +187,33 @@ def test_bloom_empty_eval_flags_nothing(spark, corpus):
     train, _ = corpus
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bloom_decontamination(train, empty, "doc_id", "text").count() == 0
+
+
+def test_bloom_caller_owned_broadcast(spark, corpus):
+    """Repeated screens reuse ONE broadcast (broadcast_bitmap) and own
+    its lifecycle — same flags as the per-call path, destroyable after
+    the last screen materializes."""
+    from opengauss_tools_datachecker_spark.operators.contamination import (
+        broadcast_bitmap,
+    )
+
+    train, ev = corpus
+    bitmap = eval_bloom_bitmap(ev, "doc_id", "text")
+    want = sorted(
+        map(tuple, bloom_flagged_train(train, bitmap, "doc_id", "text", min_overlap=2).collect())
+    )
+    bc = broadcast_bitmap(spark, bitmap)
+    try:
+        got1 = bloom_flagged_train(
+            train, None, "doc_id", "text", min_overlap=2, bitmap_bc=bc
+        ).collect()
+        got2 = bloom_flagged_train(
+            train, None, "doc_id", "text", min_overlap=2, bitmap_bc=bc
+        ).collect()
+        assert sorted(map(tuple, got1)) == sorted(map(tuple, got2)) == want
+    finally:
+        bc.destroy()
+    with pytest.raises(ValueError, match="exactly one"):
+        bloom_flagged_train(train, bitmap, "doc_id", "text", bitmap_bc=bc)
+    with pytest.raises(ValueError, match="exactly one"):
+        bloom_flagged_train(train, None, "doc_id", "text")
