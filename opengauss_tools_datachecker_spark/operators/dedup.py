@@ -1091,6 +1091,105 @@ def probe_band_index(
     return new_old.unionByName(new_new)
 
 
+def read_index_or_empty(
+    spark, index_path: str, batch_id: str, id_col: str, id_type: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """(index, stats) for a probe, excluding ``batch_id`` (replay
+    idempotency), with the two reads failing INDEPENDENTLY: a missing
+    index is the genuine first batch (both empty); an index whose stats
+    tree is lost must NOT silently probe empty — stats=None makes the
+    probe recount occupancy from the index itself (the
+    streaming/incremental.py false-clean guard, shared here)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        index = read_band_index(spark, index_path, exclude_batch_id=batch_id)
+    except AnalysisException:
+        return (
+            spark.createDataFrame([], f"{id_col} {id_type}, band_key string"),
+            spark.createDataFrame([], "band_key string, bsz long"),
+        )
+    try:
+        stats = read_band_stats(spark, index_path, exclude_batch_id=batch_id)
+    except AnalysisException:
+        stats = None
+    return index, stats
+
+
+def ingest_probe_index(
+    docs: DataFrame,
+    index_path: str,
+    batch_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int = 1000,
+    matches_out: str | None = None,
+    assume_new: bool = False,
+) -> dict:
+    """One daily-ingest near-dup step, batch-CLI face: probe a batch
+    against the maintained band index, then index it — the composition
+    run_check.py chains after registry-planned incremental validation
+    (the day's dirty buckets ARE the day's batch).
+
+    Because an incremental batch is a set of revalidated BUCKETS, it
+    carries unchanged documents alongside new ones; indexing those
+    again would double their band rows and every probe would echo them
+    as their own matches. The batch is therefore anti-joined against
+    the index's ids first — only NOT-YET-INDEXED documents are signed,
+    probed and indexed (ids here are content-addressed: a changed
+    document has a new id, so id-absence ⇔ genuinely new content).
+    The anti-join is a narrow id-equi-join (the index side projects to
+    its id column; no content moves) — callers whose input is already
+    a pure delta skip it with ``assume_new=True``.
+
+    Banding parameters defer to the index's recorded meta when present
+    (mismatched banding never matches any key). Matches are written to
+    ``matches_out`` (overwrite — a retried batch replaces its own
+    output) BEFORE the index write, mirroring the streaming epoch
+    order; the probe excludes this batch's own partition, so a
+    crashed-and-retried batch never self-matches. Returns
+    {"n_new", "n_matches", "indexed"}.
+    """
+    spark = docs.sparkSession
+    meta = read_index_meta(spark, index_path)
+    if meta is not None:
+        n_hashes, band_size = meta
+    id_type = docs.schema[id_col].dataType.simpleString()
+    index, stats = read_index_or_empty(spark, index_path, batch_id, id_col, id_type)
+    new_docs = (
+        docs
+        if assume_new
+        else docs.join(index.select(id_col).distinct(), id_col, "left_anti")
+    )
+    sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes)
+    bands = band_rows(sigs, id_col, n_hashes, band_size).persist()
+    try:
+        matches = probe_band_index(
+            sigs,
+            index,
+            id_col,
+            n_hashes=n_hashes,
+            band_size=band_size,
+            max_bucket_size=max_bucket_size,
+            index_band_sizes=stats,
+            bands=bands,
+        )
+        if matches_out is not None:
+            matches.write.mode("overwrite").parquet(matches_out)
+            n_matches = spark.read.parquet(matches_out).count()
+        else:
+            n_matches = matches.count()
+        n_new = bands.select(id_col).distinct().count()
+        wrote = index_batch(
+            bands, index_path, batch_id, n_hashes=n_hashes, band_size=band_size
+        )
+    finally:
+        bands.unpersist()
+    return {"n_new": n_new, "n_matches": n_matches, "indexed": wrote}
+
+
 _HEX_HIGH = set("89abcdef")
 
 

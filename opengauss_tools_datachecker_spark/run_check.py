@@ -99,6 +99,16 @@ def main(argv: list[str] | None = None) -> int:
         "rescanning the old snapshot",
     )
     p.add_argument(
+        "--band-index",
+        help="LSH band-index root dir: after validation, probe the "
+        "day's batch (the dirty buckets on registry-planned runs, the "
+        "whole table otherwise) for near-duplicates of everything "
+        "already indexed, then index it under --snapshot — the "
+        "one-command daily-ingest composition (matches land under "
+        "<index>/matches/batch_id=<snapshot> unless --band-index-out)",
+    )
+    p.add_argument("--band-index-out", help="matches parquet dir override")
+    p.add_argument(
         "--max-violations", type=int, default=None,
         help="cap REPORTED violation rows per (bucket, rule); verdict "
         "counts stay exact (guards the report path against a "
@@ -211,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         control = ControlTable(args.control) if args.control else None
         new_sigs = None  # registry planning reuses these for recording
+        dirty = None  # registry-planned dirty buckets double as the ingest batch
         if args.incremental_from:
             if control is None or not args.old_snapshot:
                 raise ValueError(
@@ -290,6 +301,37 @@ def main(argv: list[str] | None = None) -> int:
                         args.snapshot,
                         n_buckets=args.buckets,
                     )
+
+        if args.band_index:
+            # the near-dup leg of the daily composition: the day's batch
+            # is the registry-planned dirty-bucket set when one exists
+            # (the SAME delta the validation just rescanned), else the
+            # whole table; ingest_probe_index then restricts to
+            # not-yet-indexed ids, so re-validated unchanged documents
+            # are never re-signed or double-indexed
+            from pyspark.sql import functions as F
+
+            from opengauss_tools_datachecker_spark.operators.dedup import (
+                ingest_probe_index,
+            )
+
+            batch = ctx.files_with_bucket()
+            if dirty is not None:
+                batch = batch.filter(F.col("bucket").isin(sorted(dirty)))
+            docs = batch.select(
+                F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                F.col("content").alias("text"),
+            )
+            res = ingest_probe_index(
+                docs, args.band_index, args.snapshot,
+                matches_out=args.band_index_out
+                or f"{args.band_index}/matches/batch_id={args.snapshot}",
+            )
+            print(
+                f"near-dup: {res['n_new']} new docs probed, "
+                f"{res['n_matches']} matches, "
+                f"indexed={'yes' if res['indexed'] else 'no (already folded)'}"
+            )
 
         # summary.log analog
         n_fail = sum(1 for (_, _, _, s) in result.verdicts if s == "FAIL")

@@ -288,8 +288,6 @@ def streaming_neardup_index(
     the pair set an offline probe of the same batches in arrival order
     would produce.
     """
-    from pyspark.errors import AnalysisException
-
     from opengauss_tools_datachecker_spark.operators import dedup
 
     run = neardup_run_id(spark, checkpoint_dir)
@@ -305,23 +303,12 @@ def streaming_neardup_index(
         # per epoch would grow executor storage for the query's lifetime
         bands = dedup.band_rows(sigs, id_col, n_hashes, band_size).persist()
         try:
-            # the two reads fail INDEPENDENTLY: empty-index fallback only
-            # when the bands themselves are absent (true first batch). An
-            # index whose stats tree is missing/corrupt (e.g. bootstrapped
-            # via plain band-row writes) must NOT silently probe an empty
-            # index — that is a false-clean; stats=None makes the probe
-            # recount occupancy from the index itself instead.
-            try:
-                index = dedup.read_band_index(s, index_path, exclude_batch_id=bid)
-            except AnalysisException:  # first batch: nothing indexed yet
-                itype = batch_df.schema[id_col].dataType.simpleString()
-                index = s.createDataFrame([], f"{id_col} {itype}, band_key string")
-                stats = s.createDataFrame([], "band_key string, bsz long")
-            else:
-                try:
-                    stats = dedup.read_band_stats(s, index_path, exclude_batch_id=bid)
-                except AnalysisException:  # bands exist, stats don't
-                    stats = None
+            # independent index/stats reads with the lost-stats
+            # false-clean guard — shared with the batch-CLI composition
+            index, stats = dedup.read_index_or_empty(
+                s, index_path, bid, id_col,
+                batch_df.schema[id_col].dataType.simpleString(),
+            )
             matches = dedup.probe_band_index(
                 sigs,
                 index,

@@ -173,3 +173,86 @@ def test_cli_metadata_only_drift_via_registry(spark, data, tmp_path_factory):
     assert "FAIL bucket=3 rule=drift" in r2.stdout
     # only the stretched bucket drifts vs the recorded cube
     assert r2.stdout.count("FAIL bucket=") == 1
+
+
+def test_cli_daily_ingest_composition(spark, small_files, tmp_path_factory):
+    """The one-command daily-ingest story: each day's run chains
+    registry-planned incremental validation with a band-index probe +
+    index of that day's batch. Day 2 adds two documents — one a
+    near-dup of day-1 content, one fresh — and the single command
+    revalidates only the dirty buckets, probes ONLY the new documents
+    (unchanged rows in dirty buckets are never re-signed), reports the
+    near-dup match, and indexes the batch."""
+    from pyspark.sql import functions as F
+
+    from opengauss_tools_datachecker_spark import fixtures as fx
+    from opengauss_tools_datachecker_spark.operators import dedup
+
+    work = tmp_path_factory.mktemp("daily")
+    reg, ctl, idx = work / "registry", work / "ctl", work / "bandidx"
+
+    day1 = small_files
+    day1.write.parquet(str(work / "day1"))
+    fx.manifest(day1).write.parquet(str(work / "manifest1"))
+
+    r1 = _run("--files", work / "day1", "--manifest", work / "manifest1",
+              "--rules", "sha256", "--control", ctl, "--snapshot", "d1",
+              "--registry", reg, "--band-index", idx)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "near-dup:" in r1.stdout and "indexed=yes" in r1.stdout
+
+    # day 2 = day 1 + a near-dup of an existing doc + a fresh doc
+    src = day1.orderBy("file_id").first()
+    near = (900001, "repo_newA", "c900001", src.lang, "new/near.py",
+            src.content + " trailer", None)
+    fresh = (900002, "repo_newB", "c900002", "python", "new/fresh.py",
+             " ".join(f"novel{i} unseen{i * 3 % 7}" for i in range(30)), None)
+    extras = spark.createDataFrame(
+        [near, fresh],
+        "file_id long, repo string, commit string, lang string, "
+        "path string, content string, bucket int",
+    ).withColumn("bucket", fx.bucket_of("repo", 8))
+    day2 = day1.unionByName(extras)
+    day2.write.parquet(str(work / "day2"))
+    fx.manifest(day2).write.parquet(str(work / "manifest2"))
+
+    r2 = _run("--files", work / "day2", "--manifest", work / "manifest2",
+              "--rules", "sha256", "--control", ctl, "--snapshot", "d2",
+              "--registry", reg, "--old-snapshot", "d1", "--band-index", idx)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed" in r2.stdout                  # incremental validation ran
+    assert "near-dup: 2 new docs probed" in r2.stdout  # batch = the delta only
+
+    # the match names exactly the (near-dup doc, its day-1 original)
+    new_id, src_id = [
+        r["doc_id"]
+        for r in spark.createDataFrame(
+            [("repo_newA", "new/near.py", "c900001"),
+             (src.repo, src.path, src.commit)],
+            "repo string, path string, commit string",
+        ).select(F.xxhash64("repo", "path", "commit").alias("doc_id")).collect()
+    ]
+    matches = {
+        (r.new_id, r.match_id, r.origin)
+        for r in spark.read.parquet(f"{idx}/matches/batch_id=d2").collect()
+    }
+    assert (new_id, src_id, "new_old") in matches
+    assert not any(n == m for (n, m, _) in matches)  # no self-echoes
+    # both days indexed; the index's stats stay exact
+    batches = {
+        r.batch_id
+        for r in spark.read.option("basePath", f"{idx}/bands")
+        .parquet(f"{idx}/bands")
+        .select("batch_id").distinct().collect()
+    }
+    assert batches == {"d1", "d2"}
+    stats = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_stats(spark, str(idx)).collect()
+    }
+    recount = {
+        (r.band_key, r.bsz)
+        for r in dedup.read_band_index(spark, str(idx))
+        .groupBy("band_key").agg(F.count(F.lit(1)).alias("bsz")).collect()
+    }
+    assert stats == recount
