@@ -95,3 +95,32 @@ def test_registry_fits_gate_capture_window():
     # must stay inside that window — fold variants into multi-arm
     # queries (discriminator column) rather than exceeding it
     assert len(entrymod.queries()) <= 50
+
+
+def test_slot_persist_reuses_identical_plan_and_evicts_changed(spark):
+    """The per-query cache slot: a semantically identical re-invocation
+    returns THE SAME cached frame (no recompute, no second cache
+    entry); a changed plan evicts and replaces; a cleared cache
+    (storageLevel NONE) re-persists instead of returning a dropped
+    handle. Bounds any repeated-call loop to one live entry per key."""
+    key = "test_slot.__probe__"
+    entrymod._QUERY_CACHE_SLOTS.pop(key, None)
+    a = spark.range(100).withColumnRenamed("id", "x")
+    got1 = entrymod._slot_persist(key, a)
+    assert got1.count() == 100
+    # identical plan -> the very same handle comes back, still cached
+    got2 = entrymod._slot_persist(key, spark.range(100).withColumnRenamed("id", "x"))
+    assert got2 is got1
+    assert got2.storageLevel.useMemory
+    # changed plan -> evicted (old handle uncached) and replaced
+    got3 = entrymod._slot_persist(key, spark.range(200).withColumnRenamed("id", "x"))
+    assert got3 is not got1
+    assert got3.count() == 200
+    assert not got1.storageLevel.useMemory
+    # cleared cache -> the slot must re-persist, not serve a dropped handle
+    spark.catalog.clearCache()
+    got4 = entrymod._slot_persist(key, spark.range(200).withColumnRenamed("id", "x"))
+    assert got4 is not got3
+    assert got4.storageLevel.useMemory
+    got4.unpersist()
+    entrymod._QUERY_CACHE_SLOTS.pop(key, None)
