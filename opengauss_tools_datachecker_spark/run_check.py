@@ -318,6 +318,14 @@ def main(argv: list[str] | None = None) -> int:
             batch = ctx.files_with_bucket()
             if dirty is not None:
                 batch = batch.filter(F.col("bucket").isin(sorted(dirty)))
+            # 64-bit key-hash ids: at 10^12 docs the birthday bound is
+            # ~10^4 expected collisions (n^2/2^65), each silently
+            # skipping ONE colliding doc from the (approximate) near-dup
+            # index — ~3e-8 of the corpus, and the VALIDATION rules are
+            # unaffected (they join on the full key columns, never this
+            # id). Accepted over a 128-bit hex-string id, which would
+            # roughly double every band row of the whole index (32-byte
+            # id vs 8).
             docs = batch.select(
                 F.xxhash64("repo", "path", "commit").alias("doc_id"),
                 F.col("content").alias("text"),
