@@ -132,6 +132,22 @@ def main() -> None:
     levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8")
     n_low, n_high = (int(x) for x in levels.split(","))
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    # opt-in quiet-window gate (BENCH/hostprobe.py as a pre-flight):
+    # SPARK_GRAFT_REQUIRE_QUIET=0.92 refuses to measure — and to
+    # overwrite BENCH/BASELINE.md — when the host's own per-core burn
+    # parity is below the threshold, because no software can
+    # demonstrate >=0.8 scaling on silicon delivering less (see the
+    # History notes in BENCH/BASELINE.md). Exit code 3 = try later.
+    require = os.environ.get("SPARK_GRAFT_REQUIRE_QUIET")
+    if require:
+        ratio = (_calibrate(n_high) / _calibrate(n_low)) / (n_high / n_low)
+        if ratio < float(require):
+            print(json.dumps({
+                "skipped": "host parity below quiet-window threshold",
+                "host_ratio": round(ratio, 3),
+                "required": float(require),
+            }))
+            sys.exit(3)
     cache = f"/tmp/datachecker_bench/files_{n_files}_42"
     if not os.path.isdir(cache + "/files"):
         # one-off generation in its own session
