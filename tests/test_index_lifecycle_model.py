@@ -149,7 +149,7 @@ def _check(spark, idx: str, model: IndexModel) -> None:
     assert got_stats == model.expected_stats()
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [7, 23, 41, 101])
 def test_lifecycle_random_interleavings_match_model(spark, tmp_path, seed):
     rng = random.Random(seed)
     idx = str(tmp_path / "idx")
